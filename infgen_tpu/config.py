@@ -1,0 +1,213 @@
+"""Configuration system: typed dataclasses loaded from YAML.
+
+Mirrors the reference config schema (configs/ours_long_term.yaml) so the same
+experiment matrix (long-term / standard / smart / ablations) can be expressed,
+while adding TPU-specific fields (padded sizes, mesh shape, dtype policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+# Agent taxonomy. Reference: infgen/datasets/preprocess.py:19-20.
+AGENT_TYPES = ("veh", "ped", "cyc", "seed")
+AGENT_STATES = ("invalid", "valid", "enter", "exit")
+
+# Agent state token ids. Reference: configs/ours_long_term.yaml:11-15.
+INVALID_STATE = 0
+VALID_STATE = 1
+ENTER_STATE = 2
+EXIT_STATE = 3
+
+# Token stride: 10 Hz steps per 2 Hz motion token. Reference: preprocess.py:13.
+SHIFT = 5
+
+# Canonical evaluation shapes (reference: preprocess.py:14-18).
+AGENT_SHAPE_EVAL = {
+    "veh": (4.3, 1.8, 1.0),
+    "ped": (0.5, 0.5, 1.0),
+    "cyc": (1.9, 0.5, 1.0),
+}
+
+
+@dataclass
+class LossWeights:
+    """Loss weights. Reference: configs/ours_long_term.yaml:89-105."""
+
+    token_cls_loss: float = 1.0
+    map_token_loss: float = 1.0
+    state_cls_loss: float = 10.0
+    type_cls_loss: float = 5.0
+    pos_cls_loss: float = 1.0
+    head_cls_loss: float = 1.0
+    offset_reg_loss: float = 5.0
+    shape_reg_loss: float = 0.2
+    pos_reg_loss: float = 10.0
+    head_reg_loss: float = 1.0
+    state_weight: List[float] = field(default_factory=lambda: [0.1, 0.1, 0.8])
+    seed_state_weight: List[float] = field(default_factory=lambda: [0.9, 0.1])
+    seed_type_weight: List[float] = field(default_factory=lambda: [0.8, 0.1, 0.1])
+    agent_occ_pos_weight: float = 100.0
+    pt_occ_pos_weight: float = 5.0
+    agent_occ_loss: float = 10.0
+    pt_occ_loss: float = 10.0
+
+
+@dataclass
+class Config:
+    """Full model + experiment configuration.
+
+    Field provenance is the reference YAML (configs/ours_long_term.yaml) unless
+    marked TPU-specific.
+    """
+
+    # --- time / token info (yaml `time_info`) ---
+    num_historical_steps: int = 11
+    num_future_steps: int = 80
+    token_size: int = 2048
+    predict_motion: bool = True
+    predict_state: bool = True
+    predict_map: bool = True
+    predict_occ: bool = True
+    pl2seed_radius: float = 75.0
+    grid_range: float = 150.0
+    grid_interval: float = 3.0
+    angle_interval: float = 3.0
+    seed_size: int = 1
+    buffer_size: int = 128
+    max_num: int = 32
+
+    # --- model ---
+    input_dim: int = 2
+    hidden_dim: int = 128
+    output_dim: int = 2
+    num_heads: int = 8
+    head_dim: int = 16
+    dropout: float = 0.1
+    num_freq_bands: int = 64
+    num_map_layers: int = 3
+    num_agent_layers: int = 6
+    num_seed_layers: int = 3  # reference hardcodes seed_layers=3 (agent_decoder.py:235)
+    a2a_radius: float = 60.0
+    pl2pl_radius: float = 10.0
+    pl2a_radius: float = 30.0
+    a2sa_radius: float = 10.0
+    pl2sa_radius: float = 10.0
+    time_span: int = 60
+    map_token_size: int = 1024  # reference hardcodes 1024 (map_decoder.py:58)
+    num_seed_feature: int = 10  # reference hardcodes 10 (agent_decoder.py:292)
+    motion_beam_size: int = 5  # agent_decoder.py:300
+    insert_beam_size: int = 10  # agent_decoder.py:301
+    insert_limit: int = 10  # agent_decoder.py:1738
+    pl2a_num_neighbors: int = 5  # agent_decoder.py:711 (radius max_num_neighbors)
+
+    # --- ablation flags (configs/experiments/*.yaml) ---
+    use_grid_token: bool = True
+    use_head_token: bool = True
+    use_state_token: bool = True
+    disable_insertion: bool = False
+
+    # --- training ---
+    lr: float = 5e-4
+    warmup_steps: int = 0
+    total_steps: int = 32
+    max_epochs: int = 32
+    grad_clip_norm: float = 0.5
+    accumulate_grad_batches: int = 1
+    loss_weight: LossWeights = field(default_factory=LossWeights)
+
+    # --- validation / rollout ---
+    num_recurrent_steps_val: int = 300
+    val_open_loop: bool = False
+    val_close_loop: bool = True
+    n_rollout_close_val: int = 1
+
+    # --- TPU-specific: padded static shapes ---
+    max_agents: int = 128  # A_max slots incl. room for inserted agents
+    max_map_tokens: int = 1024  # P_max map ("pt") tokens per scenario
+    num_token_steps: int = 18  # T for training (91 // SHIFT)
+
+    # --- TPU-specific: parallelism / precision ---
+    mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    seed: int = 2025
+
+    # --- data ---
+    train_raw_dir: Optional[str] = None
+    val_raw_dir: Optional[str] = None
+    train_batch_size: int = 1
+    val_batch_size: int = 1
+
+    @property
+    def shift(self) -> int:
+        return SHIFT
+
+    @property
+    def grid_size(self) -> int:
+        """Number of in-disc grid cells. Mirrors Attr_Tokenizer (attr_tokenizer.py:24-43)."""
+        num_grid = int(self.grid_range / self.grid_interval) + 1
+        n = 0
+        # count cells within radius pl2seed_radius of center
+        half = num_grid // 2
+        for i in range(num_grid):
+            for j in range(num_grid):
+                dx = (i - half) * self.grid_interval
+                dy = (j - half) * self.grid_interval
+                if math.sqrt(dx * dx + dy * dy) <= self.pl2seed_radius:
+                    n += 1
+        return n
+
+    @property
+    def angle_size(self) -> int:
+        return int(360.0 / self.angle_interval)
+
+    @property
+    def num_infer_steps(self) -> int:
+        """Token steps for closed-loop rollout (agent_decoder.py:1637)."""
+        return (self.num_recurrent_steps_val + self.num_historical_steps) // SHIFT
+
+    @property
+    def num_hist_tokens(self) -> int:
+        """History token steps: (11 - 1) // 5 = 2."""
+        return (self.num_historical_steps - 1) // SHIFT
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _flatten_reference_yaml(raw: Dict[str, Any]) -> Dict[str, Any]:
+    """Accept both flat dicts and reference-style nested YAML (Model/Dataset/Trainer)."""
+    out: Dict[str, Any] = {}
+    known = {f.name for f in dataclasses.fields(Config)}
+
+    def absorb(d: Dict[str, Any]):
+        for k, v in d.items():
+            if isinstance(v, dict) and k in ("Model", "Dataset", "Trainer", "decoder", "time_info"):
+                absorb(v)
+            elif k == "loss_weight" and isinstance(v, dict):
+                lw_known = {f.name for f in dataclasses.fields(LossWeights)}
+                out["loss_weight"] = LossWeights(**{kk: vv for kk, vv in v.items() if kk in lw_known})
+            elif k in known:
+                out[k] = v
+            elif k == "disable_grid_token":
+                out["use_grid_token"] = not v
+            elif k == "disable_head_token":
+                out["use_head_token"] = not v
+            elif k == "disable_state_token":
+                out["use_state_token"] = not v
+
+    absorb(raw)
+    return out
+
+
+def load_config(path: str) -> Config:
+    """Load YAML (flat or reference-style nested with anchors) into a Config."""
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f)
+    return Config(**_flatten_reference_yaml(raw))

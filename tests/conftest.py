@@ -1,0 +1,16 @@
+"""Test configuration: force JAX onto 8 virtual CPU devices so sharding
+layouts (DP mesh) can be exercised without TPU hardware."""
+
+import os
+
+# The session environment exports JAX_PLATFORMS=axon (remote TPU tunnel);
+# tests must run on local CPU, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
