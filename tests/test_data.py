@@ -1,0 +1,98 @@
+"""Tests for synthetic scenarios, map tokenization, and the input builder."""
+
+import jax
+import numpy as np
+import pytest
+
+from infgen_tpu.config import Config, ENTER_STATE, INVALID_STATE
+from infgen_tpu.data.features import build_model_inputs, sample_pt_pred_masks_device
+from infgen_tpu.data.synthetic import make_synthetic_scenario
+from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+from infgen_tpu.tokenizers.map_tokenizer import MapTokenizer, interpolate_polyline
+from infgen_tpu.tokenizers.motion_tokenizer import MotionTokenizer
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(max_agents=32, max_map_tokens=512)
+
+
+@pytest.fixture(scope="module")
+def scenario(cfg):
+    return make_synthetic_scenario(cfg, seed=0, num_agents=16)
+
+
+def test_interpolate_polyline_shapes():
+    pts = np.stack([np.linspace(0, 50, 60), np.zeros(60)], -1)
+    hd = np.zeros(60)
+    segs = interpolate_polyline(pts, hd)
+    assert segs is not None and segs.shape[1:] == (3, 3)
+    # 50m of lane -> ~10 segments of 5m
+    assert 9 <= segs.shape[0] <= 11
+    # sample points are 2.5m apart along a straight lane
+    d = np.linalg.norm(segs[0, 1, :2] - segs[0, 0, :2])
+    assert abs(d - 2.5) < 0.1
+
+
+def test_map_matching_straight_lane_is_consistent():
+    mt = MapTokenizer()
+    pts = np.stack([np.linspace(0, 50, 101), np.zeros(101)], -1)
+    segs = interpolate_polyline(pts, np.zeros(101))
+    idx = np.asarray(mt.match(segs[:, :, :2], segs[:, 0, 2]))
+    # identical straight segments must map to the identical vocab token
+    assert (idx[:-1] == idx[0]).all()
+
+
+def test_scenario_shapes(cfg, scenario):
+    assert scenario.agents.valid.shape == (32, 91)
+    assert scenario.map.position.shape == (512, 2)
+    assert int(scenario.agents.slot_mask.sum()) == 16
+    assert bool(scenario.map.mask.any())
+
+
+def test_build_model_inputs(cfg, scenario):
+    mt = MotionTokenizer()
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    inputs = jax.jit(lambda s, r: build_model_inputs(cfg, mt, attr, s, r))(
+        scenario, jax.random.PRNGKey(0))
+    A, T = 32, 18
+    assert inputs.tokens.token_idx.shape == (A, T)
+    assert inputs.grid_token_idx.shape == (A, T)
+    assert inputs.pt_grid_token_idx.shape == (T, 512)
+    # padded slots are fully invalid
+    slot = np.asarray(inputs.slot_mask)
+    state = np.asarray(inputs.tokens.state_idx)
+    assert (state[~slot] == INVALID_STATE).all()
+    # ego is always in range of itself (grid center)
+    av = int(inputs.av_index)
+    gidx = np.asarray(inputs.grid_token_idx)
+    assert (gidx[av] == attr.grid_size // 2).all()
+    # grid indices are -1 exactly outside selection
+    inr = np.asarray(inputs.inrange_mask)
+    inv = state == INVALID_STATE
+    assert (gidx[~inv & inr] >= 0).all()
+    assert (gidx[inv] == -1).all()
+    # sort indices: first entries per step are entering agents sorted by angle
+    si = np.asarray(inputs.sort_indices)
+    bos = np.asarray(inputs.bos_mask)
+    for t in range(T):
+        n_enter = int((bos[:, t] & inr[:, t]).sum())
+        listed = si[:n_enter, t]
+        assert set(listed) == set(np.nonzero(bos[:, t] & inr[:, t])[0])
+        assert (si[n_enter:, t] == av).all()
+
+
+def test_pt_pred_masks_device():
+    chain_id = np.array([0, 0, 0, 0, 1, 1, -1], np.int32)
+    chain_pos = np.array([0, 1, 2, 3, 0, 1, -1], np.int32)
+    mask = np.array([1, 1, 1, 1, 1, 1, 0], bool)
+    v, p, t = sample_pt_pred_masks_device(chain_id, chain_pos, mask,
+                                          jax.random.PRNGKey(1))
+    v, p, t = np.asarray(v), np.asarray(p), np.asarray(t)
+    assert v[~mask].sum() == 0
+    # every pred site's successor is a target and was dropped
+    for i in np.nonzero(p)[0]:
+        succ = np.nonzero((chain_id == chain_id[i]) & (chain_pos == chain_pos[i] + 1))[0]
+        assert len(succ) == 1 and t[succ[0]] and not v[succ[0]]
+    assert p.sum() == t.sum()
