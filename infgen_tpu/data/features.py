@@ -46,6 +46,7 @@ class ModelInputs(NamedTuple):
     pt_valid_mask: jnp.ndarray      # [P] bool
     pt_pred_mask: jnp.ndarray       # [P] bool
     pt_target_mask: jnp.ndarray     # [P] bool
+    pt_next_token_idx: jnp.ndarray  # [P] int32 successor token id (-1 none)
 
 
 def fetch_enterings(attr: AttrTokenizer, cfg: Config, tokens: TokenizedAgents,
@@ -113,11 +114,13 @@ def fetch_enterings(attr: AttrTokenizer, cfg: Config, tokens: TokenizedAgents,
     )
 
 
-def sample_pt_pred_masks_device(chain_id, chain_pos, mask, rng):
+def sample_pt_pred_masks_device(chain_id, chain_pos, mask, rng, token_idx=None):
     """Device-side random map-token masking (sample_pt_pred equivalent).
 
     Masks ~1/3 of each chain's non-initial tokens; pred site = unmasked token
     whose successor (same chain, chain_pos+1) was masked; target = successor.
+    With `token_idx`, also returns each position's successor token id
+    (`next_token_idx`, -1 where no successor) for the map-token CE loss.
     """
     P = chain_id.shape[0]
     drop = (jax.random.uniform(rng, (P,)) < (1.0 / 3.0)) & (chain_pos > 0) & mask
@@ -129,7 +132,12 @@ def sample_pt_pred_masks_device(chain_id, chain_pos, mask, rng):
     succ_dropped = (succ & drop[None, :]).any(axis=1)
     pt_pred = pt_valid & succ_dropped
     pt_target = (succ.T & pt_pred[None, :]).any(axis=1) & drop
-    return pt_valid, pt_pred, pt_target
+    if token_idx is None:
+        return pt_valid, pt_pred, pt_target
+    succ_idx = jnp.argmax(succ, axis=1)
+    has_succ = succ.any(axis=1)
+    next_token_idx = jnp.where(has_succ, token_idx[succ_idx], -1)
+    return pt_valid, pt_pred, pt_target, next_token_idx
 
 
 def build_model_inputs(cfg: Config, motion_tok: MotionTokenizer, attr: AttrTokenizer,
@@ -140,8 +148,9 @@ def build_model_inputs(cfg: Config, motion_tok: MotionTokenizer, attr: AttrToken
     ent = fetch_enterings(attr, cfg, tokens, ag.av_index,
                           scenario.map.position, scenario.map.mask)
     rng_map, _ = jax.random.split(rng)
-    pt_valid, pt_pred, pt_target = sample_pt_pred_masks_device(
-        scenario.map.chain_id, scenario.map.chain_pos, scenario.map.mask, rng_map)
+    pt_valid, pt_pred, pt_target, pt_next = sample_pt_pred_masks_device(
+        scenario.map.chain_id, scenario.map.chain_pos, scenario.map.mask, rng_map,
+        token_idx=scenario.map.token_idx)
     return ModelInputs(
         tokens=tokens,
         agent_shape=ag.shape,
@@ -150,5 +159,6 @@ def build_model_inputs(cfg: Config, motion_tok: MotionTokenizer, attr: AttrToken
         slot_mask=ag.slot_mask,
         train_mask=ag.train_mask & ag.slot_mask,
         pt_valid_mask=pt_valid, pt_pred_mask=pt_pred, pt_target_mask=pt_target,
+        pt_next_token_idx=pt_next,
         **ent,
     )

@@ -1,0 +1,495 @@
+"""Agent decoder: factorized temporal / map / social attention + all heads.
+
+TPU-native redesign of InfGenAgentDecoder (infgen/modules/agent_decoder.py:
+98-2402). Differences from the reference are architectural, not semantic:
+
+ - sparse edge lists -> dense masked attention over padded sets (edges.py)
+ - seed agents ride as S extra rows of the padded node axis
+ - rows without incident edges still pass through the gated-update/FFN path
+   with zero aggregate, exactly like scatter-add over zero edges
+ - the closed-loop rollout (phase: rollout/closed_loop.py) reuses these
+   submodules via module methods instead of re-tracing python loops.
+
+Training forward mirrors agent_decoder.py:1104-1603:
+  trunk   6 x [temporal -> map2agent -> agent2agent]    (:1201-1212)
+  seeds   3 x [occ2sa -> pt2sa -> a2sa]                 (:1246-1258)
+  refine  3 x [pt2a -> a2a]  (shared trunk layer params, :1358-1366)
+"""
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from infgen_tpu.config import Config, ENTER_STATE, INVALID_STATE
+from infgen_tpu.model import edges as E
+from infgen_tpu.model.layers import (
+    EMB_INIT,
+    DenseAttention,
+    FourierEmbedding,
+    MLPEmbedding,
+    MLPLayer,
+)
+from infgen_tpu.ops.neighbors import topk_neighbors
+from infgen_tpu.utils.geometry import angle_between_2d_vectors
+
+SEED_TYPE = 3  # AGENT_TYPE.index('seed')
+INVALID_SHAPE_VALUE = 0.1
+
+
+def map_token_index(idx, vocab_size: int):
+    """Map sentinel token ids (-2 bos, -1 invalid) into embedding-table rows.
+
+    Table layout: [vocab (V) | bos (V) | no-token (V+1)], matching the
+    reference's reliance on python negative indexing (agent_decoder.py:355-368).
+    """
+    return jnp.where(idx >= 0, idx, vocab_size + 2 + idx)
+
+
+class AgentDecoder(nn.Module):
+    cfg: Config
+    grid_xy: jnp.ndarray      # [G, 2] AttrTokenizer.grid buffer
+    grid_size: int
+    angle_size: int
+
+    def setup(self):
+        cfg = self.cfg
+        D = cfg.hidden_dim
+
+        self.type_a_emb = nn.Embed(4, D, embedding_init=EMB_INIT)
+        self.shape_emb = MLPEmbedding(D)
+        self.state_a_emb = nn.Embed(4, D, embedding_init=EMB_INIT)
+
+        self.x_a_emb = FourierEmbedding(2, D, cfg.num_freq_bands)
+        self.r_t_emb = FourierEmbedding(4, D, cfg.num_freq_bands)
+        self.r_pt2a_emb = FourierEmbedding(3, D, cfg.num_freq_bands)
+        self.r_a2a_emb = FourierEmbedding(3, D, cfg.num_freq_bands)
+        self.r_pt2sa_emb = FourierEmbedding(3, D, cfg.num_freq_bands)
+        self.r_a2sa_emb = FourierEmbedding(3, D, cfg.num_freq_bands)
+
+        self.token_emb_veh = MLPEmbedding(D)
+        self.token_emb_ped = MLPEmbedding(D)
+        self.token_emb_cyc = MLPEmbedding(D)
+        self.token_emb_grid = MLPEmbedding(D)
+        self.no_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT)
+        self.bos_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT)
+        self.invalid_offset_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT)
+
+        n_inputs = 4 if cfg.use_grid_token else 3
+        self.fusion_emb = MLPEmbedding(D)
+        self._fusion_in = D * n_inputs
+
+        mk = lambda bip, pos, name, n: [
+            DenseAttention(D, cfg.num_heads, cfg.head_dim, cfg.dropout,
+                           bipartite=bip, has_pos_emb=pos, name=f"{name}_{i}")
+            for i in range(n)
+        ]
+        self.t_attn_layers = mk(False, True, "t_attn", cfg.num_agent_layers)
+        self.pt2a_attn_layers = mk(True, True, "pt2a", cfg.num_agent_layers)
+        self.a2a_attn_layers = mk(False, True, "a2a", cfg.num_agent_layers)
+        self.pt2sa_attn_layers = mk(True, True, "pt2sa", cfg.num_seed_layers)
+        self.a2sa_attn_layers = mk(False, True, "a2sa", cfg.num_seed_layers)
+        self.occ2sa_attn_layers = mk(True, False, "occ2sa", cfg.num_seed_layers)
+
+        self.token_predict_head = MLPLayer(D, cfg.token_size)
+        self.state_predict_head = MLPLayer(D, 3)    # invalid/valid/exit
+        self.seed_state_predict_head = MLPLayer(D, 2)  # invalid/enter
+        self.seed_type_predict_head = MLPLayer(D, 3)
+        self.seed_shape_predict_head = MLPLayer(D, 3)
+        if cfg.use_grid_token:
+            self.seed_pos_rel_token_predict_head = MLPLayer(D, self.grid_size)
+            self.seed_offset_xy_predict_head = MLPLayer(D, 2)
+            self.seed_agent_occ_embed = MLPLayer(D, D)
+        else:
+            self.seed_pos_rel_xy_predict_head = MLPLayer(D, 2)
+        if cfg.use_head_token:
+            self.seed_heading_rel_token_predict_head = MLPLayer(D, self.angle_size)
+        else:
+            self.seed_heading_rel_theta_predict_head = MLPLayer(D, 1)
+        if cfg.predict_occ:
+            self.grid_agent_occ_head = MLPLayer(D, self.grid_size)
+            self.grid_pt_occ_head = MLPLayer(D, self.grid_size)
+
+    # ------------------------------------------------------------------ #
+    # embedding tables and fused features
+    # ------------------------------------------------------------------ #
+
+    def token_emb_tables(self, agent_vocab):
+        """[3, V+2, D] motion-token embedding tables (vocab + bos + no-token).
+
+        Built from the last contour of each vocab entry (agent_decoder.py:
+        347-362).
+        """
+        V = self.cfg.token_size
+        tables = []
+        for key, emb in (("veh", self.token_emb_veh), ("ped", self.token_emb_ped),
+                         ("cyc", self.token_emb_cyc)):
+            base = emb(agent_vocab[key][:, -1].reshape(V, 8))
+            bos = self.bos_token_emb(jnp.zeros(1, jnp.int32))
+            no = self.no_token_emb(jnp.zeros(1, jnp.int32))
+            tables.append(jnp.concatenate([base, bos, no], axis=0))
+        return jnp.stack(tables)
+
+    def grid_emb_table(self):
+        """[G+1, D]: grid-cell embeddings + trailing invalid row (:371-372)."""
+        table = self.token_emb_grid(self.grid_xy)
+        inv = self.invalid_offset_token_emb(jnp.zeros(1, jnp.int32))
+        return jnp.concatenate([table, inv], axis=0)
+
+    def fuse_features(self, token_emb, motion_vector, head_vector, type_t,
+                      shape_t, state, grid_emb):
+        """Per-(agent, step) fused feature (agent_decoder.py:449-509).
+
+        token_emb [..., D]; motion_vector [..., 2]; head_vector [..., 2];
+        type_t [...] int; shape_t [..., 3]; state [...] int; grid_emb [..., D].
+        """
+        feat = jnp.stack([
+            jnp.linalg.norm(motion_vector, axis=-1),
+            angle_between_2d_vectors(head_vector, motion_vector),
+        ], axis=-1)
+        cat = [self.type_a_emb(type_t), self.shape_emb(shape_t)]
+        x_a = self.x_a_emb(feat, categorical_embs=cat)
+        s_a = self.state_a_emb(state)
+        parts = [token_emb, x_a, s_a]
+        if self.cfg.use_grid_token:
+            parts.append(grid_emb)
+        return self.fusion_emb(jnp.concatenate(parts, axis=-1))
+
+    def embed_agents(self, inputs, agent_vocab):
+        """Fused features for real agents [A, T, D] (agent_decoder.py:332-424)."""
+        cfg = self.cfg
+        tok = inputs.tokens
+        A, T = tok.token_idx.shape
+
+        tables = self.token_emb_tables(agent_vocab)              # [3, V+2, D]
+        t_idx = map_token_index(tok.token_idx, cfg.token_size)
+        token_emb = tables[jnp.clip(inputs.agent_type, 0, 2)[:, None],
+                           t_idx]                                # [A, T, D]
+
+        grid_table = self.grid_emb_table()
+        g_idx = jnp.where(inputs.grid_token_idx >= 0, inputs.grid_token_idx,
+                          self.grid_size)
+        grid_emb = grid_table[g_idx]
+
+        motion, head_vec = E.build_motion_vectors(
+            tok.token_pos, tok.token_heading, tok.state_idx)
+
+        is_invalid = tok.state_idx == INVALID_STATE
+        type_t = jnp.where(is_invalid, SEED_TYPE, inputs.agent_type[:, None])
+        shape_t = jnp.where(is_invalid[..., None], INVALID_SHAPE_VALUE,
+                            inputs.agent_shape[:, None, :])
+
+        feat = self.fuse_features(token_emb, motion, head_vec, type_t, shape_t,
+                                  tok.state_idx, grid_emb)
+        return feat, head_vec
+
+    def embed_seeds(self, num_seed: int, T: int):
+        """Seed-slot features [S, T, D]: invalid-state agents at the origin
+        (agent_decoder.py:411-424 via _build_agent_feature defaults)."""
+        S = num_seed
+        token_emb = jnp.broadcast_to(
+            self.no_token_emb(jnp.zeros(1, jnp.int32))[0], (S, T, self.cfg.hidden_dim))
+        grid_emb = jnp.broadcast_to(
+            self.grid_emb_table()[self.grid_size // 2], (S, T, self.cfg.hidden_dim))
+        pos = jnp.zeros((S, T, 2))
+        head = jnp.zeros((S, T))
+        state = jnp.full((S, T), INVALID_STATE, jnp.int32)
+        motion, head_vec = E.build_motion_vectors(pos, head, state)
+        type_t = jnp.full((S, T), SEED_TYPE, jnp.int32)
+        shape_t = jnp.full((S, T, 3), INVALID_SHAPE_VALUE)
+        return self.fuse_features(token_emb, motion, head_vec, type_t, shape_t,
+                                  state, grid_emb)
+
+    # ------------------------------------------------------------------ #
+    # layer application helpers
+    # ------------------------------------------------------------------ #
+
+    def _zero_agg(self, layer, x, deterministic=True):
+        """Run rows through a layer with no incident edges (agg = 0)."""
+        dummy = jnp.zeros((*x.shape[:-1], 1, x.shape[-1]), x.dtype)
+        mask = jnp.zeros((*x.shape[:-1], 1, 1), bool)
+        return layer(x[..., None, :], dummy, None, mask,
+                     deterministic=deterministic)[..., 0, :]
+
+    def run_trunk(self, feat, temporal, a2a, pl2a, x_pt, deterministic=True,
+                  num_layers: Optional[int] = None):
+        """6 x [temporal -> pt2a -> a2a] over the padded node set.
+
+        feat [N, T, D] (agents + optional seed rows); temporal: TemporalEdges
+        over N; a2a: StepEdges [T, N, N]; pl2a: GatherEdges [N, T, k].
+        """
+        cfg = self.cfg
+        r_t = self.r_t_emb(temporal.r_raw)
+        r_a2a = self.r_a2a_emb(a2a.r_raw)
+        r_pl2a = self.r_pt2a_emb(pl2a.r_raw)
+        n_layers = num_layers if num_layers is not None else cfg.num_agent_layers
+
+        for i in range(n_layers):
+            feat = self.t_attn_layers[i](
+                feat, None, r_t, temporal.mask, deterministic=deterministic)
+            # map2agent: gathered keys per (n, t)
+            keys = x_pt[pl2a.idx]                                # [N, T, k, D]
+            feat = self.pt2a_attn_layers[i](
+                feat[:, :, None, :], keys, r_pl2a[:, :, None, :, :],
+                pl2a.mask[:, :, None, :], deterministic=deterministic)[:, :, 0, :]
+            # agent2agent per step
+            ft = feat.swapaxes(0, 1)                             # [T, N, D]
+            ft = self.a2a_attn_layers[i](
+                ft, None, r_a2a, a2a.mask, deterministic=deterministic)
+            feat = ft.swapaxes(0, 1)
+        return feat
+
+    def run_seed_stack(self, feat, num_seed: int, occ_emb, pl2sa_mask, r_pl2sa_raw,
+                       a2sa, x_pt, deterministic=True):
+        """3 x [occ2sa -> pt2sa -> a2sa] (agent_decoder.py:1246-1258).
+
+        feat [N, T, D] with the last `num_seed` rows being seeds; agent rows
+        pass through every layer with zero aggregate, matching the reference
+        where they appear in the flattened node set without incident edges.
+        occ_emb [S, T, D] or None; pl2sa_mask [T, P]; r_pl2sa_raw [T, P, 3];
+        a2sa: StepEdges [T, S, A(keys)].
+        """
+        cfg = self.cfg
+        S = num_seed
+        A = feat.shape[0] - S
+        r_pl2sa = self.r_pt2sa_emb(r_pl2sa_raw)                  # [T, P, D]
+        r_a2sa = self.r_a2sa_emb(a2sa.r_raw)                     # [T, S, A, D]
+
+        for i in range(cfg.num_seed_layers):
+            ag, sd = feat[:A], feat[A:]
+            # occ2sa: one occ key per (seed, step)
+            if cfg.use_grid_token and occ_emb is not None:
+                sd = self.occ2sa_attn_layers[i](
+                    sd[:, :, None, :], occ_emb[:, :, None, :], None,
+                    jnp.ones((S, sd.shape[1], 1, 1), bool),
+                    deterministic=deterministic)[:, :, 0, :]
+                ag = self._zero_agg(self.occ2sa_attn_layers[i], ag, deterministic)
+            # pt2sa: seeds attend in-range map tokens (shared keys)
+            sd_t = sd.swapaxes(0, 1)                             # [T, S, D]
+            T = sd_t.shape[0]
+            keys = jnp.broadcast_to(x_pt[None], (T, *x_pt.shape))
+            sd_t = self.pt2sa_attn_layers[i](
+                sd_t, keys, r_pl2sa, jnp.broadcast_to(
+                    pl2sa_mask[:, None, :], (T, S, pl2sa_mask.shape[1])),
+                deterministic=deterministic)
+            ag = self._zero_agg(self.pt2sa_attn_layers[i], ag, deterministic)
+            # a2sa: seeds attend agents (keys from the evolving agent rows)
+            ag_t = ag.swapaxes(0, 1)                             # [T, A, D]
+            sd_t = self.a2sa_attn_layers[i](
+                sd_t, ag_t, r_a2sa, a2sa.mask, deterministic=deterministic)
+            ag = self._zero_agg(self.a2sa_attn_layers[i], ag, deterministic)
+            feat = jnp.concatenate([ag, sd_t.swapaxes(0, 1)], axis=0)
+        return feat
+
+    def run_refine(self, feat, pl2sa: E.GatherEdges, a2sa_idx, a2sa_mask,
+                   a2sa_r_raw, x_pt, deterministic=True):
+        """3 x [pt2a -> a2a] on trunk layer params 0-2 (agent_decoder.py:1358-66).
+
+        feat [A, T, D]; pl2sa: map keys per (a, t); a2sa_*: agent keys per
+        (a, t) gathered from the evolving feature tensor.
+        """
+        r_pl = self.r_pt2a_emb(pl2sa.r_raw)
+        r_aa = self.r_a2a_emb(a2sa_r_raw)
+        T = feat.shape[1]
+        t_ix = jnp.arange(T)[None, :, None]
+        for i in range(self.cfg.num_seed_layers):
+            keys = x_pt[pl2sa.idx]
+            feat = self.pt2a_attn_layers[i](
+                feat[:, :, None, :], keys, r_pl[:, :, None, :, :],
+                pl2sa.mask[:, :, None, :], deterministic=deterministic)[:, :, 0, :]
+            a_keys = feat[a2sa_idx, t_ix]                        # [A, T, k, D]
+            feat = self.a2a_attn_layers[i](
+                feat[:, :, None, :], a_keys, r_aa[:, :, None, :, :],
+                a2sa_mask[:, :, None, :], deterministic=deterministic)[:, :, 0, :]
+        return feat
+
+    # ------------------------------------------------------------------ #
+    # training forward
+    # ------------------------------------------------------------------ #
+
+    def __call__(self, inputs, x_pt, agent_vocab, pt_pos, pt_orient, pt_mask,
+                 rng, deterministic: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        tok = inputs.tokens
+        A, T = tok.token_idx.shape
+        S = cfg.num_seed_feature
+        rng_hist, rng_sa = jax.random.split(rng)
+
+        feat_a, head_vec = self.embed_agents(inputs, agent_vocab)
+        feat_seed = self.embed_seeds(S, T)
+        raw_feat_a, raw_feat_seed = feat_a, feat_seed
+
+        pos = tok.token_pos
+        head = tok.token_heading
+        state = tok.state_idx
+        slot = inputs.slot_mask
+        ego_pos = inputs.ego_pos                                  # [T, 2]
+        ego_head = inputs.ego_head
+
+        # ---- masks (agent_decoder.py:1142-1181) ----
+        hist = E.training_hist_mask(tok.raw_token_valid, state,
+                                    None if deterministic else rng_hist)
+        hist = hist & slot[:, None]
+        interact = (tok.raw_token_valid | (state == ENTER_STATE)) & slot[:, None]
+
+        # padded node set: agents + seeds (seeds sit on ego)
+        pos_p = jnp.concatenate([pos, jnp.broadcast_to(ego_pos, (S, T, 2))], 0)
+        head_p = jnp.concatenate([head, jnp.broadcast_to(ego_head, (S, T))], 0)
+        state_p = jnp.concatenate([state, jnp.full((S, T), INVALID_STATE, state.dtype)], 0)
+        hv_p = jnp.concatenate([head_vec, jnp.broadcast_to(
+            jnp.stack([jnp.cos(ego_head), jnp.sin(ego_head)], -1), (S, T, 2))], 0)
+        hist_p = jnp.concatenate([hist, jnp.zeros((S, T), bool)], 0)
+        interact_p = jnp.concatenate([interact, jnp.zeros((S, T), bool)], 0)
+
+        time_span_steps = cfg.time_span // cfg.shift
+        temporal = E.build_temporal_edges(pos_p, head_p, state_p, hv_p, hist_p,
+                                          time_span_steps)
+        a2a = E.build_a2a_edges(pos_p, head_p, state_p, hv_p, interact_p,
+                                cfg.a2a_radius)
+        pl2a = E.build_pl2a_edges(pos_p, head_p, state_p, hv_p, interact_p,
+                                  pt_pos, pt_orient, pt_mask,
+                                  cfg.pl2a_radius, cfg.pl2a_num_neighbors)
+
+        # ---- trunk ----
+        feat = jnp.concatenate([feat_a, feat_seed], axis=0)
+        feat = self.run_trunk(feat, temporal, a2a, pl2a, x_pt, deterministic)
+        trunk_feat = feat[:A]
+
+        next_token_logits = self.token_predict_head(trunk_feat)
+        next_state_logits = self.state_predict_head(trunk_feat)
+
+        # ---- seed stack (insertion prediction) ----
+        seq_mask = E.build_seq_mask(inputs.sort_indices, inputs.av_index, S, A)
+        ego_hv = jnp.stack([jnp.cos(ego_head), jnp.sin(ego_head)], -1)
+        seed_pos = jnp.broadcast_to(ego_pos, (S, T, 2))
+        seed_head = jnp.broadcast_to(ego_head, (S, T))
+        seed_hv = jnp.broadcast_to(ego_hv, (S, T, 2))
+        a2sa = E.build_a2sa_edges(pos, head, state, head_vec, interact,
+                                  seed_pos, seed_head, seed_hv,
+                                  cfg.pl2seed_radius, seq_mask=seq_mask)
+        pl2sa_mask, r_pl2sa_raw = E.build_pl2sa_edges(
+            ego_pos, ego_head, ego_hv, pt_pos, pt_orient, pt_mask,
+            cfg.pl2seed_radius)
+
+        # occupancy GT drives both the occ2sa input and the occ BCE targets
+        grid_oh = jax.nn.one_hot(
+            jnp.where(inputs.grid_token_idx >= 0, inputs.grid_token_idx, 0),
+            self.grid_size) * (inputs.grid_token_idx >= 0)[..., None]
+        occ_agent_gt = jnp.einsum("tsa,atg->stg", a2sa.mask.astype(grid_oh.dtype),
+                                  grid_oh)
+        occ_agent_gt = (occ_agent_gt > 0).astype(jnp.float32)     # [S, T, G]
+        pt_oh = jax.nn.one_hot(
+            jnp.where(inputs.pt_grid_token_idx >= 0, inputs.pt_grid_token_idx, 0),
+            self.grid_size) * (inputs.pt_grid_token_idx >= 0)[..., None]
+        occ_pt_gt = jnp.broadcast_to((pt_oh.sum(1) > 0).astype(jnp.float32)[None],
+                                     (S, T, self.grid_size))
+
+        occ_emb = self.seed_agent_occ_embed(occ_agent_gt) if cfg.use_grid_token else None
+
+        feat_sa = jnp.concatenate([raw_feat_a, raw_feat_seed], axis=0)
+        feat_sa = self.run_seed_stack(feat_sa, S, occ_emb, pl2sa_mask,
+                                      r_pl2sa_raw, a2sa, x_pt, deterministic)
+        seed_feat = feat_sa[A:]
+
+        seed_state_logits = self.seed_state_predict_head(seed_feat)
+        seed_type_logits = self.seed_type_predict_head(seed_feat)
+        seed_shape = self.seed_shape_predict_head(seed_feat)
+        if cfg.use_grid_token:
+            seed_pos_logits = self.seed_pos_rel_token_predict_head(seed_feat)
+            seed_pos_xy = None
+        else:
+            seed_pos_logits = None
+            seed_pos_xy = jnp.tanh(self.seed_pos_rel_xy_predict_head(seed_feat))
+
+        occ_agent_logits = occ_pt_logits = None
+        if cfg.predict_occ:
+            occ_agent_logits = self.grid_agent_occ_head(seed_feat)
+            occ_pt_logits = self.grid_pt_occ_head(seed_feat)
+
+        # ---- refine stage (agent_decoder.py:1304-1385) ----
+        # sample pseudo-seed rows: up to 10 random non-invalid in-grid rows per
+        # step + all enter rows; never step 0 nor the AV (:1308-1315)
+        eligible = (state != INVALID_STATE) & (inputs.grid_token_idx != -1) & slot[:, None]
+        scores = jnp.where(eligible, jax.random.uniform(rng_sa, (A, T)), -jnp.inf)
+        kth = jnp.sort(scores, axis=0)[-10][None]                 # 10 per step
+        mask_sa = eligible & (scores >= kth)
+        mask_sa = mask_sa | (state == ENTER_STATE)
+        mask_sa = mask_sa.at[:, 0].set(False)
+        mask_sa = mask_sa.at[inputs.av_index].set(False)
+
+        state_sa = jnp.where(mask_sa, ENTER_STATE, INVALID_STATE)
+        head_sa = jnp.where(mask_sa, ego_head[None], head)
+        motion_sa, hv_sa = E.build_motion_vectors(pos, head_sa, state_sa)
+        motion_sa = jnp.where(mask_sa[..., None], E.MOTION_GAP, motion_sa)
+
+        grid_table = self.grid_emb_table()
+        g_idx = jnp.where(inputs.grid_token_idx >= 0, inputs.grid_token_idx,
+                          self.grid_size)
+        refine_token_emb = jnp.where(
+            mask_sa[..., None], self.bos_token_emb(jnp.zeros(1, jnp.int32))[0],
+            self.no_token_emb(jnp.zeros(1, jnp.int32))[0])
+        refine_feat = self.fuse_features(
+            refine_token_emb, motion_sa, hv_sa,
+            jnp.broadcast_to(inputs.agent_type[:, None], (A, T)),
+            jnp.broadcast_to(inputs.agent_shape[:, None], (A, T, 3)),
+            state_sa, grid_table[g_idx])
+        refine_feat = jnp.where(mask_sa[..., None], refine_feat, raw_feat_a)
+
+        # refine edges: agents within a2sa_radius (k=8) / map within pl2sa (k=32)
+        a2sa_key_mask = interact & ~mask_sa
+        flat_pos = pos.reshape(A * T, 2)
+        # keys are other agents at the same step: build per-step neighbor table
+        idx8, val8 = topk_neighbors(
+            pos.swapaxes(0, 1), pos.swapaxes(0, 1), 8, cfg.a2sa_radius,
+            key_mask=a2sa_key_mask.swapaxes(0, 1), exclude_self=True)
+        idx8 = idx8.swapaxes(0, 1)                                # [A, T, 8]
+        val8 = val8.swapaxes(0, 1) & mask_sa[..., None]
+        rel_pos8 = pos[idx8, jnp.arange(T)[None, :, None]] - pos[:, :, None]
+        rel_head8 = head[idx8, jnp.arange(T)[None, :, None]] - head_sa[:, :, None]
+        from infgen_tpu.utils.geometry import wrap_angle as _wrap
+        r8 = jnp.stack([
+            jnp.linalg.norm(rel_pos8, axis=-1),
+            angle_between_2d_vectors(hv_sa[:, :, None], rel_pos8),
+            _wrap(rel_head8),
+        ], axis=-1)
+
+        pl_refine = E.build_pl2a_edges(pos, head_sa, state_sa, hv_sa, mask_sa,
+                                       pt_pos, pt_orient, pt_mask,
+                                       cfg.pl2sa_radius, 32)
+        # drop sampled rows with no neighbors at all (:1353-1356)
+        has_nbr = val8.any(-1) | pl_refine.mask.any(-1)
+        mask_sa = mask_sa & has_nbr
+
+        refine_out = self.run_refine(refine_feat, pl_refine, idx8, val8, r8,
+                                     x_pt, deterministic)
+
+        if cfg.use_head_token:
+            head_logits = self.seed_heading_rel_token_predict_head(refine_out)
+            head_theta = None
+        else:
+            head_logits = None
+            head_theta = jnp.tanh(
+                self.seed_heading_rel_theta_predict_head(refine_out))[..., 0]
+        offset_xy = None
+        if cfg.use_grid_token:
+            offset_xy = jnp.tanh(self.seed_offset_xy_predict_head(refine_out)) * 2.0
+
+        return {
+            "next_token_logits": next_token_logits,
+            "next_state_logits": next_state_logits,
+            "seed_state_logits": seed_state_logits,
+            "seed_type_logits": seed_type_logits,
+            "seed_shape": seed_shape,
+            "seed_pos_logits": seed_pos_logits,
+            "seed_pos_xy": seed_pos_xy,
+            "occ_agent_logits": occ_agent_logits,
+            "occ_pt_logits": occ_pt_logits,
+            "occ_agent_gt": occ_agent_gt,
+            "occ_pt_gt": occ_pt_gt,
+            "head_logits": head_logits,
+            "head_theta": head_theta,
+            "offset_xy": offset_xy,
+            "mask_sa": mask_sa,
+            "trunk_feat": trunk_feat,
+        }

@@ -1,0 +1,133 @@
+"""Model forward smoke tests + attention-layer oracle parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infgen_tpu.config import Config
+from infgen_tpu.data.features import build_model_inputs
+from infgen_tpu.data.synthetic import make_synthetic_scenario
+from infgen_tpu.model.infgen import InfGenModel
+from infgen_tpu.model.layers import DenseAttention
+from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+from infgen_tpu.tokenizers.motion_tokenizer import MotionTokenizer
+from infgen_tpu.tokenizers.vocab import load_map_vocab
+
+
+def _edge_list_oracle(params, x_dst, x_src, r, mask):
+    """Numpy edge-list implementation of the reference AttentionLayer math
+    (layers.py:61-113) for one batch: scatter softmax over incident edges."""
+    def g(name, key):
+        return np.asarray(params[name][key])
+
+    ln = lambda x, n: (x - x.mean(-1, keepdims=True)) / np.sqrt(
+        x.var(-1, keepdims=True) + 1e-6) * g(n, "scale") + g(n, "bias")
+
+    src_n = ln(x_src, "prenorm_src")
+    dst_n = ln(x_dst, "prenorm_dst")
+    H, Hd = 4, 8
+    q = (dst_n @ g("to_q", "kernel") + g("to_q", "bias")).reshape(-1, H, Hd)
+    k = (src_n @ g("to_k", "kernel")).reshape(-1, H, Hd)
+    v = (src_n @ g("to_v", "kernel") + g("to_v", "bias")).reshape(-1, H, Hd)
+    r_n = ln(r, "prenorm_r")
+    k_r = (r_n @ g("to_k_r", "kernel")).reshape(*r.shape[:-1], H, Hd)
+    v_r = (r_n @ g("to_v_r", "kernel") + g("to_v_r", "bias")).reshape(*r.shape[:-1], H, Hd)
+
+    Q, K = mask.shape
+    agg = np.zeros((Q, H, Hd))
+    for qi in range(Q):
+        edges = np.nonzero(mask[qi])[0]
+        if len(edges) == 0:
+            continue
+        sims = np.array([((q[qi] * (k[e] + k_r[qi, e])).sum(-1)) for e in edges]) * Hd ** -0.5
+        w = np.exp(sims - sims.max(0, keepdims=True))
+        w = w / w.sum(0, keepdims=True)  # [E, H]
+        for wi, e in zip(w, edges):
+            agg[qi] += wi[:, None] * (v[e] + v_r[qi, e])
+    agg = agg.reshape(Q, H * Hd)
+    gate = 1 / (1 + np.exp(-(np.concatenate([agg, dst_n], -1) @ g("to_g", "kernel") + g("to_g", "bias"))))
+    s = dst_n @ g("to_s", "kernel") + g("to_s", "bias")
+    agg = agg + gate * (s - agg)
+    attn_out = agg @ g("to_out", "kernel") + g("to_out", "bias")
+    x = x_dst + ln(attn_out, "postnorm")
+    h = ln(x, "ff_prenorm")
+    h = np.maximum(h @ g("ff_0", "kernel") + g("ff_0", "bias"), 0)
+    h = h @ g("ff_1", "kernel") + g("ff_1", "bias")
+    return x + ln(h, "ff_postnorm")
+
+
+def test_dense_attention_matches_edge_list_oracle():
+    D, H, Hd = 32, 4, 8
+    Q, K = 6, 9
+    rng = np.random.default_rng(0)
+    x_dst = rng.normal(size=(Q, D)).astype(np.float32)
+    x_src = rng.normal(size=(K, D)).astype(np.float32)
+    r = rng.normal(size=(Q, K, D)).astype(np.float32)
+    mask = rng.uniform(size=(Q, K)) < 0.5
+    mask[2] = False  # one fully-masked query
+
+    layer = DenseAttention(D, H, Hd, dropout=0.0, bipartite=True, has_pos_emb=True)
+    params = layer.init(jax.random.PRNGKey(0), x_dst, x_src, r, mask)["params"]
+    out = layer.apply({"params": params}, x_dst, x_src, r, mask)
+
+    oracle = _edge_list_oracle(params, x_dst, x_src, r, mask)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-4)
+
+
+def test_query_independent_r_equivalent_to_broadcast():
+    D, H, Hd, Q, K = 32, 4, 8, 5, 7
+    rng = np.random.default_rng(1)
+    x_dst = rng.normal(size=(Q, D)).astype(np.float32)
+    x_src = rng.normal(size=(K, D)).astype(np.float32)
+    r_k = rng.normal(size=(K, D)).astype(np.float32)
+    mask = rng.uniform(size=(Q, K)) < 0.7
+
+    layer = DenseAttention(D, H, Hd, bipartite=True, has_pos_emb=True)
+    params = layer.init(jax.random.PRNGKey(0), x_dst, x_src, r_k, mask)["params"]
+    out_qi = layer.apply({"params": params}, x_dst, x_src, r_k, mask)
+    r_full = np.broadcast_to(r_k[None], (Q, K, D))
+    out_full = layer.apply({"params": params}, x_dst, x_src, jnp.asarray(r_full), mask)
+    np.testing.assert_allclose(np.asarray(out_qi), np.asarray(out_full), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    cfg = Config(max_agents=24, max_map_tokens=256, num_agent_layers=2,
+                 num_seed_layers=2, num_map_layers=2, hidden_dim=64,
+                 num_heads=4, head_dim=16, num_freq_bands=16)
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    mt = MotionTokenizer()
+    scenario = make_synthetic_scenario(cfg, seed=1, num_agents=12)
+    inputs = build_model_inputs(cfg, mt, attr, scenario, jax.random.PRNGKey(0))
+    model = InfGenModel(cfg, attr.grid, attr.grid_size, attr.angle_size)
+    return cfg, attr, mt, scenario, inputs, model
+
+
+def test_training_forward(small_setup):
+    cfg, attr, mt, scenario, inputs, model = small_setup
+    map_vocab = load_map_vocab()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        jax.random.PRNGKey(2), deterministic=True)
+
+    pred = model.apply(variables, inputs, scenario.map, mt.vocab,
+                       map_vocab["traj_src"], jax.random.PRNGKey(3),
+                       deterministic=True)
+
+    A, T, S, G = 24, 18, cfg.num_seed_feature, attr.grid_size
+    assert pred["next_token_logits"].shape == (A, T, cfg.token_size)
+    assert pred["next_state_logits"].shape == (A, T, 3)
+    assert pred["seed_state_logits"].shape == (S, T, 2)
+    assert pred["seed_pos_logits"].shape == (S, T, G)
+    assert pred["occ_agent_gt"].shape == (S, T, G)
+    assert pred["head_logits"].shape == (A, T, attr.angle_size)
+    assert pred["offset_xy"].shape == (A, T, 2)
+    for k, v in pred.items():
+        if v is not None and hasattr(v, "dtype") and v.dtype.kind == "f":
+            assert bool(jnp.isfinite(v).all()), f"non-finite in {k}"
+    # occ gt only marks cells of agents visible to seeds
+    occ = np.asarray(pred["occ_agent_gt"])
+    assert occ.min() >= 0 and occ.max() <= 1
