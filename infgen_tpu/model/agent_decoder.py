@@ -305,6 +305,135 @@ class AgentDecoder(nn.Module):
         return feat
 
     # ------------------------------------------------------------------ #
+    # incremental (rollout) column methods — the KV-cache analog of the
+    # reference's feat_a_t_dict (agent_decoder.py:2133-2158)
+    # ------------------------------------------------------------------ #
+
+    def motion_column(self, x_c, key_stack, t_r_raw, t_mask,
+                      a2a_r_raw, a2a_mask, pl_keys, pl_r_raw, pl_mask):
+        """Run the 6-layer trunk for ONE token column.
+
+        x_c        [A, D]   layer-0 input at the current column (raw fused)
+        key_stack  [L, A, W, D] temporal keys per layer (layer0 = raw feats,
+                   layer i>0 = cache of layer-i inputs at past columns)
+        t_r_raw    [A, W, 4]; t_mask [A, W]
+        a2a_r_raw  [A, A, 3]; a2a_mask [A, A]
+        pl_keys    [A, K, D] map features gathered per agent; pl_r_raw/pl_mask
+        Returns (new_cols [L, A, D], out [A, D]): new_cols[i] is the value to
+        write into cache[i+1] at this column.
+        """
+        r_t = self.r_t_emb(t_r_raw)
+        r_aa = self.r_a2a_emb(a2a_r_raw)
+        r_pl = self.r_pt2a_emb(pl_r_raw)
+        x = x_c
+        new_cols = []
+        for i in range(self.cfg.num_agent_layers):
+            x = self.t_attn_layers[i](
+                x[:, None, :], key_stack[i], r_t[:, None, :, :],
+                t_mask[:, None, :], deterministic=True)[:, 0, :]
+            x = self.pt2a_attn_layers[i](
+                x[:, None, :], pl_keys, r_pl[:, None, :, :],
+                pl_mask[:, None, :], deterministic=True)[:, 0, :]
+            x = self.a2a_attn_layers[i](
+                x, None, r_aa, a2a_mask, deterministic=True)
+            new_cols.append(x)
+        return jnp.stack(new_cols), x
+
+    def seed_column(self, agent_col, seed_vec, occ_vec, pl_keys_mask, pl_r_raw,
+                    a2sa_r_raw, a2sa_mask, x_pt):
+        """Insertion seed stack for one column (agent_decoder.py:1861-1871).
+
+        agent_col [A, D]; seed_vec [D]; occ_vec [G] binary occupancy;
+        pl_keys_mask [P]; pl_r_raw [P, 3]; a2sa_r_raw [A, 3]; a2sa_mask [A].
+        Agent rows ride through with zero aggregate (they appear in the node
+        set without incident edges in the reference). Returns the seed feature.
+        """
+        cfg = self.cfg
+        r_pl = self.r_pt2sa_emb(pl_r_raw)          # [P, D]
+        r_sa = self.r_a2sa_emb(a2sa_r_raw)         # [A, D]
+        occ_emb = (self.seed_agent_occ_embed(occ_vec.astype(jnp.float32))
+                   if cfg.use_grid_token else None)
+        ag, sd = agent_col, seed_vec
+        for i in range(cfg.num_seed_layers):
+            if occ_emb is not None:
+                sd = self.occ2sa_attn_layers[i](
+                    sd[None, :], occ_emb[None, :], None,
+                    jnp.ones((1, 1), bool), deterministic=True)[0]
+                ag = self._zero_agg(self.occ2sa_attn_layers[i], ag)
+            sd = self.pt2sa_attn_layers[i](
+                sd[None, :], x_pt, r_pl, pl_keys_mask[None, :],
+                deterministic=True)[0]
+            ag = self._zero_agg(self.pt2sa_attn_layers[i], ag)
+            sd = self.a2sa_attn_layers[i](
+                sd[None, :], ag, r_sa, a2sa_mask[None, :],
+                deterministic=True)[0]
+            ag = self._zero_agg(self.a2sa_attn_layers[i], ag)
+        return sd
+
+    def refine_column(self, x_col, query_onehot, pl_keys, pl_r_raw, pl_mask,
+                      a2a_idx, a2a_r_raw, a2a_mask, x_pt):
+        """Heading/offset refine for one column (agent_decoder.py:2050-2058).
+
+        x_col [A, D]; query_onehot [A] bool (the newly inserted agent);
+        pl_keys [A, Km] gathered map neighbor ids; a2a_idx [A, Ka] agent key
+        ids. Non-query rows pass with zero aggregate. Uses trunk layer params
+        0..num_seed_layers-1 like the reference.
+        """
+        r_pl = self.r_pt2a_emb(pl_r_raw)
+        r_aa = self.r_a2a_emb(a2a_r_raw)
+        x = x_col
+        pl_m = pl_mask & query_onehot[:, None]
+        aa_m = a2a_mask & query_onehot[:, None]
+        for i in range(self.cfg.num_seed_layers):
+            keys = x_pt[pl_keys]
+            x = self.pt2a_attn_layers[i](
+                x[:, None, :], keys, r_pl[:, None, :, :], pl_m[:, None, :],
+                deterministic=True)[:, 0, :]
+            a_keys = x[a2a_idx]
+            x = self.a2a_attn_layers[i](
+                x[:, None, :], a_keys, r_aa[:, None, :, :], aa_m[:, None, :],
+                deterministic=True)[:, 0, :]
+        return x
+
+    def rollout_tables(self, agent_vocab):
+        """Constant embedding tables used by the rollout scan."""
+        return dict(
+            token_tables=self.token_emb_tables(agent_vocab),   # [3, V+2, D]
+            grid_table=self.grid_emb_table(),                  # [G+1, D]
+            no_token=self.no_token_emb(jnp.zeros(1, jnp.int32))[0],
+            bos_token=self.bos_token_emb(jnp.zeros(1, jnp.int32))[0],
+        )
+
+    def motion_heads(self, feat_c):
+        return self.token_predict_head(feat_c), self.state_predict_head(feat_c)
+
+    def seed_heads(self, seed_feat):
+        out = dict(
+            state_logits=self.seed_state_predict_head(seed_feat),
+            type_logits=self.seed_type_predict_head(seed_feat),
+            shape=self.seed_shape_predict_head(seed_feat),
+        )
+        if self.cfg.use_grid_token:
+            out["pos_logits"] = self.seed_pos_rel_token_predict_head(seed_feat)
+        else:
+            out["pos_xy"] = jnp.tanh(self.seed_pos_rel_xy_predict_head(seed_feat))
+        if self.cfg.predict_occ:
+            out["occ_agent"] = self.grid_agent_occ_head(seed_feat)
+            out["occ_pt"] = self.grid_pt_occ_head(seed_feat)
+        return out
+
+    def refine_heads(self, feat):
+        out = {}
+        if self.cfg.use_head_token:
+            out["head_logits"] = self.seed_heading_rel_token_predict_head(feat)
+        else:
+            out["head_theta"] = jnp.tanh(
+                self.seed_heading_rel_theta_predict_head(feat))[..., 0]
+        if self.cfg.use_grid_token:
+            out["offset_xy"] = jnp.tanh(self.seed_offset_xy_predict_head(feat)) * 2.0
+        return out
+
+    # ------------------------------------------------------------------ #
     # training forward
     # ------------------------------------------------------------------ #
 

@@ -20,6 +20,7 @@ def topk_neighbors(query_pos, key_pos, k: int, radius: float,
     Invalid slots point at key 0 with valid=False.
     """
     d2 = ((query_pos[..., :, None, :] - key_pos[..., None, :, :]) ** 2).sum(-1)
+    k = min(k, d2.shape[-1])
     big = jnp.inf
     if key_mask is not None:
         d2 = jnp.where(key_mask[..., None, :], d2, big)

@@ -1,0 +1,788 @@
+"""Closed-loop rollout as a single `jax.lax.scan` — the flagship path.
+
+Re-architecture of InfGenAgentDecoder.inference (agent_decoder.py:1605-2389):
+the reference's 60-iteration python loop with per-step tensor growth becomes
+one compiled program:
+
+  - agent insertion = slot activation inside padded arrays (a bounded
+    `lax.fori_loop`, <= insert_limit per step, with occupancy rejection),
+    instead of torch.cat growth (:1920-1999)
+  - incremental per-layer feature cache [L, A, T_inf, D] replaces
+    feat_a_t_dict (:2133-2158): each step refreshes ONE token column
+  - top-k multinomial sampling on device (:2163,1902)
+  - trajectories never leave HBM until the scan finishes.
+
+Column convention (num_historical_steps=11, SHIFT=5): token columns 0..1 hold
+history; rollout step t has "current" column c = 1 + t and writes c + 1.
+"""
+
+from functools import partial
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from infgen_tpu.config import (
+    Config,
+    ENTER_STATE,
+    EXIT_STATE,
+    INVALID_STATE,
+    SHIFT,
+    VALID_STATE,
+)
+from infgen_tpu.model import edges as E
+from infgen_tpu.model.agent_decoder import INVALID_SHAPE_VALUE, SEED_TYPE, map_token_index
+from infgen_tpu.ops.neighbors import topk_neighbors
+from infgen_tpu.ops.sampling import sample_from_topk
+from infgen_tpu.utils.geometry import (
+    angle_between_2d_vectors,
+    heading_from_contour,
+    rot_mat_2d,
+    wrap_angle,
+)
+
+REFINE_A2SA_K = 24   # agent_decoder.py:2042 max_num_neighbors=24
+REFINE_PL2SA_K = 32  # :2048 uses 128; 10 m radius holds far fewer map tokens
+
+
+class RolloutCarry(NamedTuple):
+    pos: jnp.ndarray          # [A, Ti, 2]
+    head: jnp.ndarray         # [A, Ti]
+    state: jnp.ndarray        # [A, Ti] int32
+    token: jnp.ndarray        # [A, Ti] int32
+    grid: jnp.ndarray         # [A, Ti] int32
+    valid: jnp.ndarray        # [A, Ti] bool (agent_valid_mask)
+    interact: jnp.ndarray     # [A, Ti] bool
+    temporal: jnp.ndarray     # [A, Ti] bool
+    slot_active: jnp.ndarray  # [A] bool
+    type_: jnp.ndarray        # [A] int32
+    shape: jnp.ndarray        # [A, 3]
+    token_emb: jnp.ndarray    # [A, Ti, D]
+    type_emb: jnp.ndarray     # [A, Ti, D]
+    shape_emb: jnp.ndarray    # [A, Ti, D]
+    raw_feat: jnp.ndarray     # [A, Ti, D]
+    cache: jnp.ndarray        # [L, A, Ti, D]
+    pred_traj: jnp.ndarray    # [A, R, 2] 10 Hz
+    pred_head: jnp.ndarray    # [A, R]
+    pred_state: jnp.ndarray   # [A, R]
+    n_inserted: jnp.ndarray   # [] int32
+    rng: jnp.ndarray
+
+
+def _fuse(dec, tables, token_emb, motion, head_vec, type_t, shape_t, state, grid_idx):
+    grid_emb = tables["grid_table"][jnp.where(grid_idx >= 0, grid_idx,
+                                              dec.grid_size)]
+    return dec.fuse_features(token_emb, motion, head_vec, type_t, shape_t,
+                             state, grid_emb)
+
+
+def _agent_row_features(dec, tables, pos, head, state, token, grid, type_,
+                        shape, zero_after=None):
+    """Fused features for full rows [*, Ti, D] from raw carry arrays."""
+    motion, head_vec = E.build_motion_vectors(pos, head, state)
+    if zero_after is not None:
+        Ti = pos.shape[-2]
+        colmask = jnp.arange(Ti) >= zero_after
+        motion = jnp.where(colmask[None, :, None], 0.0, motion)
+        head_vec = jnp.where(colmask[None, :, None], 0.0, head_vec)
+    is_invalid = state == INVALID_STATE
+    type_t = jnp.where(is_invalid, SEED_TYPE, type_[..., None])
+    shape_t = jnp.where(is_invalid[..., None], INVALID_SHAPE_VALUE,
+                        shape[..., None, :])
+    t_idx = map_token_index(token, dec.cfg.token_size)
+    token_emb = tables["token_tables"][jnp.clip(type_, 0, 2)[..., None], t_idx]
+    token_emb = jnp.where((token == -1)[..., None], tables["no_token"], token_emb)
+    token_emb = jnp.where((token == -2)[..., None], tables["bos_token"], token_emb)
+    return _fuse(dec, tables, token_emb, motion, head_vec, type_t, shape_t,
+                 state, grid)
+
+
+def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
+                    num_recurrent_steps: int = None, jit: bool = True):
+    """Build `rollout(params, scenario, rng) -> dict`."""
+    R = num_recurrent_steps or cfg.num_recurrent_steps_val
+    n_steps = R // SHIFT
+    Ti = (R + cfg.num_historical_steps) // SHIFT
+    H = (cfg.num_historical_steps - 1) // SHIFT          # 2 history columns
+    A = cfg.max_agents
+    D = cfg.hidden_dim
+    L = cfg.num_agent_layers
+    W = min(cfg.time_span // SHIFT, Ti)                  # temporal window 12
+    G = attr.grid_size
+    grid_xy = attr.grid                                  # [G, 2]
+    token_traj_all = jnp.stack([motion_tok.vocab[k] for k in ("veh", "ped", "cyc")])
+
+    dec_method = lambda fn: (lambda mdl, *a, **k: fn(mdl.agent_decoder, *a, **k))
+
+    def apply_dec(params, fn, *args):
+        return model.apply({"params": params}, *args,
+                           method=dec_method(fn))
+
+    # ---------------------------------------------------------------- #
+
+    def rollout(params, scenario, inputs, rng) -> Dict[str, Any]:
+        from infgen_tpu.model.agent_decoder import AgentDecoder
+
+        map_enc = model.apply({"params": params}, scenario.map,
+                              map_vocab["traj_src"],
+                              method=lambda m, *a: m.encode_map(*a))
+        x_pt = map_enc["x_pt"]
+        pt_pos = scenario.map.position
+        pt_orient = scenario.map.orientation
+        pt_mask = scenario.map.mask
+
+        tables = apply_dec(params, AgentDecoder.rollout_tables, motion_tok.vocab)
+
+        tok = inputs.tokens
+        T0 = tok.token_idx.shape[1]
+
+        # --- slot filtering (agent_decoder.py:1609-1662) ---
+        slot_active = inputs.slot_mask & (tok.state_idx[:, H - 1] != INVALID_STATE)
+        eval_mask = slot_active & scenario.agents.valid[:, cfg.num_historical_steps - 1]
+
+        def pad_t(x, fill):
+            if T0 >= Ti:
+                return x[:, :Ti]
+            return jnp.concatenate(
+                [x, jnp.full((A, Ti - T0, *x.shape[2:]), fill, x.dtype)], axis=1)
+        pos = pad_t(tok.token_pos, 0.0)
+        head = pad_t(tok.token_heading, 0.0)
+        state = pad_t(tok.state_idx, INVALID_STATE)
+        token = pad_t(tok.token_idx, -1)
+        grid = pad_t(inputs.grid_token_idx, -1)
+        valid = pad_t(tok.raw_token_valid, True)
+
+        col = jnp.arange(Ti)[None]
+        fut = col >= H
+        pos = jnp.where(fut[..., None], 0.0, pos)
+        head = jnp.where(fut, 0.0, head)
+        state = jnp.where(fut, INVALID_STATE, state)
+        token = jnp.where(fut, -1, token)
+        grid = jnp.where(fut, -1, grid)
+        valid = jnp.where(fut, True, valid)
+        valid = valid & eval_mask[:, None]
+
+        # deactivated slots are fully inert
+        state = jnp.where(slot_active[:, None], state, INVALID_STATE)
+        token = jnp.where(slot_active[:, None], token, -1)
+        grid = jnp.where(slot_active[:, None], grid, -1)
+        pos = jnp.where(slot_active[:, None, None], pos, 0.0)
+
+        # --- masks (agent_decoder.py:1694-1719) ---
+        is_bos = state == ENTER_STATE
+        is_eos = state == EXIT_STATE
+        bos = jnp.where(is_bos.any(1), jnp.argmax(is_bos, 1), 0)
+        eos = jnp.where(is_eos.any(1), jnp.argmax(is_eos, 1), Ti - 1)
+        motion_win = (col > bos[:, None]) & (col <= eos[:, None]) & (col < H)
+        temporal = jnp.where(motion_win, valid, True)
+        temporal = temporal | fut  # cols >= H forced true (:1718)
+        interact = jnp.ones((A, Ti), bool)
+        non_motion = (~motion_win) & (col < H)
+        interact = jnp.where(non_motion, False, interact)
+        interact = jnp.where(state == ENTER_STATE, True, interact)
+        interact = interact.at[inputs.av_index].set(True)
+        interact = interact | fut
+        interact = interact & slot_active[:, None]
+        temporal = temporal & slot_active[:, None]
+
+        av = inputs.av_index
+        type_ = jnp.asarray(inputs.agent_type)
+        shape = jnp.asarray(inputs.agent_shape)
+
+        # --- embeddings for all rows ---
+        type_t = jnp.where(state == INVALID_STATE, SEED_TYPE, type_[:, None])
+        shape_t = jnp.where((state == INVALID_STATE)[..., None],
+                            INVALID_SHAPE_VALUE, shape[:, None, :])
+
+        def embed_cats(params, type_t, shape_t):
+            def fn(mdl):
+                d = mdl.agent_decoder
+                return d.type_a_emb(type_t), d.shape_emb(shape_t)
+            return model.apply({"params": params}, method=fn)
+
+        type_emb, shape_emb = embed_cats(params, type_t, shape_t)
+        t_idx = map_token_index(token, cfg.token_size)
+        token_emb = tables["token_tables"][jnp.clip(type_, 0, 2)[:, None], t_idx]
+
+        def fuse_all(params, token_emb, pos, head, state, type_t, shape_t, grid):
+            def fn(mdl):
+                d = mdl.agent_decoder
+                motion, hv = E.build_motion_vectors(pos, head, state)
+                return _fuse(d, tables, token_emb, motion, hv, type_t, shape_t,
+                             state, grid)
+            return model.apply({"params": params}, method=fn)
+
+        raw_feat = fuse_all(params, token_emb, pos, head, state, type_t,
+                            shape_t, grid)
+
+        carry = RolloutCarry(
+            pos=pos, head=head, state=state, token=token, grid=grid,
+            valid=valid, interact=interact, temporal=temporal,
+            slot_active=slot_active, type_=type_, shape=shape,
+            token_emb=token_emb, type_emb=type_emb, shape_emb=shape_emb,
+            raw_feat=raw_feat, cache=jnp.zeros((L, A, Ti, D)),
+            pred_traj=jnp.zeros((A, R, 2)), pred_head=jnp.zeros((A, R)),
+            pred_state=jnp.zeros((A, R)), n_inserted=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+        # --- prefill column 0 (part of the reference's t=0 joint pass) ---
+        carry = _motion_pass(params, carry, jnp.int32(0), x_pt, pt_pos,
+                             pt_orient, pt_mask, tables, av,
+                             write_cache_only=True)
+
+        # --- the scan ---
+        def body(carry, t):
+            carry, out = _step(params, carry, t, x_pt, pt_pos, pt_orient,
+                               pt_mask, tables, av)
+            return carry, out
+
+        carry, outs = jax.lax.scan(body, carry, jnp.arange(n_steps))
+
+        return _finalize(carry, outs, scenario, inputs, slot_active, av)
+
+    # ---------------------------------------------------------------- #
+    # motion pass for one column
+    # ---------------------------------------------------------------- #
+
+    def _motion_pass(params, carry, c, x_pt, pt_pos, pt_orient, pt_mask,
+                     tables, av, write_cache_only=False):
+        from infgen_tpu.model.agent_decoder import AgentDecoder
+
+        pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)   # [A, 2]
+        head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
+        state_c = jax.lax.dynamic_index_in_dim(carry.state, c, 1, False)
+        inter_c = jax.lax.dynamic_index_in_dim(carry.interact, c, 1, False)
+        hv_c = jnp.stack([jnp.cos(head_c), jnp.sin(head_c)], -1)
+
+        # temporal keys: sliding window of W columns ending at c-1
+        start = jnp.clip(c - W, 0, Ti - W)
+        k_cols = start + jnp.arange(W)                                  # [W]
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, W, axis=1)
+        key_pos = sl(carry.pos)          # [A, W, 2]
+        key_head = sl(carry.head)
+        key_state = sl(carry.state)
+        key_hist = sl(carry.temporal)
+
+        is_bos = carry.state == ENTER_STATE
+        bos = jnp.where(is_bos.any(1), jnp.argmax(is_bos, 1), 0)        # [A]
+        k_valid = (k_cols[None] < c) & key_hist & (k_cols[None] >= bos[:, None])
+        k_valid = k_valid & carry.slot_active[:, None]
+
+        rel_pos = key_pos - pos_c[:, None]
+        rel_head = wrap_angle(key_head - head_c[:, None])
+        inv_k = key_state == INVALID_STATE
+        inv_q = (state_c == INVALID_STATE)[:, None]
+        rel_pos, rel_head = E._apply_invalid_sentinels(rel_pos, rel_head,
+                                                       inv_k, inv_q)
+        t_r_raw = jnp.stack([
+            jnp.linalg.norm(rel_pos, axis=-1),
+            angle_between_2d_vectors(hv_c[:, None], rel_pos),
+            rel_head,
+            (k_cols[None] - c).astype(jnp.float32) * jnp.ones((A, 1)),
+        ], axis=-1)
+
+        key_stack = jnp.concatenate([
+            sl(carry.raw_feat)[None],
+            jax.vmap(sl)(carry.cache[:-1]),
+        ], axis=0)                                                      # [L, A, W, D]
+
+        # a2a at column c
+        km = inter_c & carry.slot_active
+        d2 = ((pos_c[:, None] - pos_c[None]) ** 2).sum(-1)
+        a2a_mask = (d2 <= cfg.a2a_radius ** 2) & ~jnp.eye(A, dtype=bool)
+        a2a_mask = a2a_mask & km[None, :] & km[:, None]
+        rel_pos_aa = pos_c[None] - pos_c[:, None]
+        rel_head_aa = wrap_angle(head_c[None] - head_c[:, None])
+        inv_c = state_c == INVALID_STATE
+        rel_pos_aa, rel_head_aa = E._apply_invalid_sentinels(
+            rel_pos_aa, rel_head_aa, inv_c[None, :], inv_c[:, None])
+        a2a_r_raw = jnp.stack([
+            jnp.linalg.norm(rel_pos_aa, axis=-1),
+            angle_between_2d_vectors(hv_c[:, None], rel_pos_aa),
+            rel_head_aa,
+        ], axis=-1)
+
+        # pl2a at column c
+        idx5, val5 = topk_neighbors(pos_c, pt_pos, cfg.pl2a_num_neighbors,
+                                    cfg.pl2a_radius, key_mask=pt_mask)
+        val5 = val5 & km[:, None]
+        rel_pl = pt_pos[idx5] - pos_c[:, None]
+        rel_or = wrap_angle(pt_orient[idx5] - head_c[:, None])
+        rel_pl = jnp.where(inv_c[:, None, None], E.MOTION_GAP, rel_pl)
+        rel_or = jnp.where(inv_c[:, None], E.HEADING_GAP, rel_or)
+        pl_r_raw = jnp.stack([
+            jnp.linalg.norm(rel_pl, axis=-1),
+            angle_between_2d_vectors(hv_c[:, None], rel_pl),
+            rel_or,
+        ], axis=-1)
+        pl_keys = x_pt[idx5]
+
+        x_c = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
+        new_cols, out = apply_dec(params, AgentDecoder.motion_column,
+                                  x_c, key_stack, t_r_raw, k_valid,
+                                  a2a_r_raw, a2a_mask, pl_keys, pl_r_raw, val5)
+        cache = jax.vmap(
+            lambda cch, ncol: jax.lax.dynamic_update_index_in_dim(
+                cch, ncol, c, 1)
+        )(carry.cache, new_cols)
+        carry = carry._replace(cache=cache)
+        if write_cache_only:
+            return carry
+        return carry, out
+
+    # ---------------------------------------------------------------- #
+    # insertion loop for one step
+    # ---------------------------------------------------------------- #
+
+    def _insertion(params, carry, c, x_pt, pt_pos, pt_orient, pt_mask,
+                   tables, av):
+        from infgen_tpu.model.agent_decoder import AgentDecoder
+
+        ego_pos = jax.lax.dynamic_index_in_dim(carry.pos[av], c, 0, False)
+        ego_head = jax.lax.dynamic_index_in_dim(carry.head[av], c, 0, False)
+        ego_hv = jnp.stack([jnp.cos(ego_head), jnp.sin(ego_head)])
+
+        # map keys within pl2seed radius of ego (shared by all iterations)
+        d_pl = jnp.linalg.norm(pt_pos - ego_pos[None], axis=-1)
+        pl_mask = (d_pl <= cfg.pl2seed_radius) & pt_mask
+        rel_pl = pt_pos - ego_pos[None]
+        pl_r_raw = jnp.stack([
+            d_pl,
+            angle_between_2d_vectors(ego_hv[None], rel_pl),
+            wrap_angle(pt_orient - ego_head),
+        ], axis=-1)
+
+        seed_vec = _seed_vector(params, tables)
+
+        def iter_body(p, loop):
+            carry, stop, n_new, probs = loop
+            rng, r1, r2 = jax.random.split(carry.rng, 3)
+            carry = carry._replace(rng=rng)
+
+            pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
+            head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
+            grid_c = jax.lax.dynamic_index_in_dim(carry.grid, c, 1, False)
+            inter_c = jax.lax.dynamic_index_in_dim(carry.interact, c, 1, False)
+
+            occ_vec = (jax.nn.one_hot(jnp.where(grid_c >= 0, grid_c, 0), G)
+                       * ((grid_c >= 0) & carry.slot_active)[:, None]).sum(0)
+            occ_vec = (occ_vec > 0)
+
+            km = inter_c & carry.slot_active
+            d_a = jnp.linalg.norm(pos_c - ego_pos[None], axis=-1)
+            a2sa_mask = km & (d_a <= cfg.pl2seed_radius)
+            rel_a = pos_c - ego_pos[None]
+            a2sa_r_raw = jnp.stack([
+                d_a,
+                angle_between_2d_vectors(ego_hv[None], rel_a),
+                wrap_angle(head_c - ego_head),
+            ], axis=-1)
+
+            agent_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
+            seed_feat = apply_dec(params, AgentDecoder.seed_column,
+                                  agent_col, seed_vec, occ_vec, pl_mask,
+                                  pl_r_raw, a2sa_r_raw, a2sa_mask, x_pt)
+            heads = apply_dec(params, AgentDecoder.seed_heads, seed_feat)
+
+            enter_prob = jax.nn.softmax(heads["state_logits"])[1]
+            want_enter = jnp.argmax(heads["state_logits"]) == 1
+            type_idx = jnp.argmax(heads["type_logits"]).astype(jnp.int32)
+            shape_pred = heads["shape"]
+
+            if cfg.use_grid_token:
+                g_idx = sample_from_topk(r1, jax.nn.softmax(heads["pos_logits"]),
+                                         cfg.insert_beam_size)
+                next_pos = _decode_pos(g_idx, ego_pos, ego_head)
+                occupied = occ_vec[g_idx]
+            else:
+                g_idx = jnp.int32(-1)
+                next_pos = heads["pos_xy"] * cfg.pl2seed_radius + ego_pos
+                occupied = jnp.bool_(False)
+
+            free = ~carry.slot_active
+            has_free = free.any()
+            slot = jnp.argmax(free)
+
+            stop_now = stop | ~want_enter | ~has_free
+            do_insert = ~stop_now & ~occupied
+
+            carry = jax.lax.cond(
+                do_insert,
+                lambda cr: _do_insert(params, cr, c, slot, next_pos, g_idx,
+                                      type_idx, shape_pred, ego_pos, ego_head,
+                                      x_pt, pt_pos, pt_orient, pt_mask,
+                                      tables, av),
+                lambda cr: cr,
+                carry)
+            # reference records the enter prob at index num_new_agents after a
+            # successful insert (agent_decoder.py:2105)
+            probs = probs.at[n_new + 1].set(
+                jnp.where(do_insert, enter_prob, probs[n_new + 1]))
+            n_new = n_new + do_insert.astype(jnp.int32)
+            return carry, stop_now, n_new, probs
+
+        probs0 = jnp.zeros((cfg.insert_limit + 1,))
+        carry, _, n_new, probs = jax.lax.fori_loop(
+            0, cfg.insert_limit, iter_body,
+            (carry, jnp.bool_(False), jnp.int32(0), probs0))
+        carry = carry._replace(n_inserted=carry.n_inserted + n_new)
+        return carry, n_new, probs
+
+    def _decode_pos(g_idx, ego_pos, ego_head):
+        centered = grid_xy[g_idx]
+        rot = rot_mat_2d(ego_head - jnp.pi / 2)
+        return centered @ rot + ego_pos
+
+    def _seed_vector(params, tables):
+        def fn(mdl):
+            d = mdl.agent_decoder
+            motion = jnp.full((1, 2), E.INVALID_MOTION_VALUE)
+            hv = jnp.array([[1.0, 0.0]])
+            return d.fuse_features(
+                tables["no_token"][None], motion, hv,
+                jnp.array([SEED_TYPE]), jnp.full((1, 3), INVALID_SHAPE_VALUE),
+                jnp.array([INVALID_STATE]),
+                tables["grid_table"][G // 2][None])[0]
+        return model.apply({"params": params}, method=fn)
+
+    def _do_insert(params, carry, c, slot, next_pos, g_idx, type_idx,
+                   shape_pred, ego_pos, ego_head, x_pt, pt_pos, pt_orient,
+                   pt_mask, tables, av):
+        from infgen_tpu.model.agent_decoder import AgentDecoder
+
+        Ti_ = carry.pos.shape[1]
+        colr = jnp.arange(Ti_)
+
+        # row templates (agent_decoder.py:1930-1958)
+        row_pos = jnp.where((colr == c)[:, None], next_pos[None], 0.0)
+        row_head = jnp.where(colr == c, ego_head, 0.0)
+        row_state = jnp.where(colr == c, ENTER_STATE, INVALID_STATE).astype(
+            carry.state.dtype)
+        row_grid = jnp.where(colr == c, g_idx, -1).astype(carry.grid.dtype)
+        # -2 at the enter column = bos sentinel (token emb -> bos row)
+        row_token = jnp.where(colr == c, -2, -1).astype(carry.token.dtype)
+        row_valid = colr > c
+        row_interact = colr >= c
+        row_temporal = jnp.ones((Ti_,), bool)
+        row_token_emb = jnp.where((colr == c)[:, None], tables["bos_token"],
+                                  tables["no_token"])
+        row_type_t = jnp.where(colr >= c, type_idx, SEED_TYPE)
+        row_shape_t = jnp.where((colr >= c)[:, None], shape_pred[None],
+                                INVALID_SHAPE_VALUE)
+
+        def cats(mdl):
+            d = mdl.agent_decoder
+            return d.type_a_emb(row_type_t), d.shape_emb(row_shape_t)
+        row_type_emb, row_shape_emb = model.apply({"params": params}, method=cats)
+
+        carry = carry._replace(
+            pos=carry.pos.at[slot].set(row_pos),
+            head=carry.head.at[slot].set(row_head),
+            state=carry.state.at[slot].set(row_state),
+            token=carry.token.at[slot].set(row_token),
+            grid=carry.grid.at[slot].set(row_grid),
+            valid=carry.valid.at[slot].set(row_valid),
+            interact=carry.interact.at[slot].set(row_interact),
+            temporal=carry.temporal.at[slot].set(row_temporal),
+            slot_active=carry.slot_active.at[slot].set(True),
+            type_=carry.type_.at[slot].set(type_idx),
+            shape=carry.shape.at[slot].set(shape_pred),
+            token_emb=carry.token_emb.at[slot].set(row_token_emb),
+            type_emb=carry.type_emb.at[slot].set(row_type_emb),
+            shape_emb=carry.shape_emb.at[slot].set(row_shape_emb),
+        )
+
+        # pred placeholders for the elapsed segment (:1965-1968, pre-refine)
+        t_step = c - 1                 # rollout step index (c = 1 + t)
+        seg = jnp.clip((t_step - 1) * SHIFT, 0, R - SHIFT)
+        segmask = (jnp.arange(R) >= seg) & (jnp.arange(R) < seg + SHIFT) & (t_step > 0)
+        carry = carry._replace(
+            pred_traj=carry.pred_traj.at[slot].set(
+                jnp.where(segmask[:, None], next_pos[None], carry.pred_traj[slot])),
+            pred_head=carry.pred_head.at[slot].set(
+                jnp.where(segmask, ego_head, carry.pred_head[slot])),
+            pred_state=carry.pred_state.at[slot].set(
+                jnp.where(segmask, ENTER_STATE, carry.pred_state[slot])),
+        )
+
+        # ---- heading/offset refine (agent_decoder.py:2001-2074) ----
+        pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
+        head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
+        inter_c = jax.lax.dynamic_index_in_dim(carry.interact, c, 1, False)
+        hv_c = jnp.stack([jnp.cos(head_c), jnp.sin(head_c)], -1)
+        onehot = jnp.arange(A) == slot
+
+        row_feat = _row_feat(params, tables, carry, slot, type_idx,
+                             shape_pred, c + 2)
+        x_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
+        x_col = x_col.at[slot].set(
+            jax.lax.dynamic_index_in_dim(row_feat, c, 0, False))
+
+        key_ok = inter_c & carry.slot_active & ~onehot
+        idx_a, val_a = topk_neighbors(pos_c, pos_c, REFINE_A2SA_K,
+                                      cfg.a2sa_radius, key_mask=key_ok,
+                                      exclude_self=True)
+        rel = pos_c[idx_a] - pos_c[:, None]
+        r_aa = jnp.stack([
+            jnp.linalg.norm(rel, axis=-1),
+            angle_between_2d_vectors(hv_c[:, None], rel),
+            wrap_angle(head_c[idx_a] - head_c[:, None]),
+        ], axis=-1)
+        idx_p, val_p = topk_neighbors(pos_c, pt_pos, REFINE_PL2SA_K,
+                                      cfg.pl2sa_radius, key_mask=pt_mask)
+        rel_p = pt_pos[idx_p] - pos_c[:, None]
+        r_pp = jnp.stack([
+            jnp.linalg.norm(rel_p, axis=-1),
+            angle_between_2d_vectors(hv_c[:, None], rel_p),
+            wrap_angle(pt_orient[idx_p] - head_c[:, None]),
+        ], axis=-1)
+
+        refined = apply_dec(params, AgentDecoder.refine_column,
+                            x_col, onehot, idx_p, r_pp, val_p,
+                            idx_a, r_aa, val_a, x_pt)
+        heads = apply_dec(params, AgentDecoder.refine_heads, refined[slot])
+
+        if cfg.use_head_token:
+            h_idx = jnp.argmax(heads["head_logits"]).astype(jnp.int32)
+            new_head = wrap_angle(_decode_heading(h_idx) + ego_head)
+        else:
+            new_head = heads["head_theta"] * jnp.pi + ego_head
+        new_pos = next_pos + (heads["offset_xy"] if cfg.use_grid_token else 0.0)
+
+        pos2 = carry.pos.at[slot].set(
+            jnp.where((colr == c)[:, None], new_pos[None], carry.pos[slot]))
+        head2 = carry.head.at[slot].set(
+            jnp.where(colr == c, new_head, carry.head[slot]))
+        carry = carry._replace(pos=pos2, head=head2)
+
+        # final row feature with refined pose (:2085-2096)
+        row_feat = _row_feat(params, tables, carry, slot, type_idx, shape_pred,
+                             c + 2)
+        carry = carry._replace(raw_feat=carry.raw_feat.at[slot].set(row_feat))
+        return carry
+
+    def _decode_heading(idx):
+        return (idx * cfg.angle_interval - 180.0) / 360.0 * (2 * jnp.pi)
+
+    def _row_feat(params, tables, carry, slot, type_idx, shape_pred, zero_after):
+        def fn(mdl):
+            d = mdl.agent_decoder
+            return _agent_row_features(
+                d, tables, carry.pos[slot][None], carry.head[slot][None],
+                carry.state[slot][None], carry.token[slot][None],
+                carry.grid[slot][None], type_idx[None], shape_pred[None],
+                zero_after=zero_after)[0]
+        return model.apply({"params": params}, method=fn)
+
+    # ---------------------------------------------------------------- #
+    # one scan step
+    # ---------------------------------------------------------------- #
+
+    def _step(params, carry, t, x_pt, pt_pos, pt_orient, pt_mask, tables, av):
+        from infgen_tpu.model.agent_decoder import AgentDecoder
+
+        c = t + 1  # current column
+
+        # 1. insertion (skipped at t=0, agent_decoder.py:1776)
+        if cfg.disable_insertion:
+            n_new = jnp.int32(0)
+            seed_probs = jnp.zeros((cfg.insert_limit + 1,))
+        else:
+            carry, n_new, seed_probs = jax.lax.cond(
+                t > 0,
+                lambda cr: _insertion(params, cr, c, x_pt, pt_pos, pt_orient,
+                                      pt_mask, tables, av),
+                lambda cr: (cr, jnp.int32(0),
+                            jnp.zeros((cfg.insert_limit + 1,))),
+                carry)
+
+        # 2. motion for all agents
+        carry, feat_c = _motion_pass(params, carry, c, x_pt, pt_pos, pt_orient,
+                                     pt_mask, tables, av)
+        token_logits, state_logits = apply_dec(
+            params, AgentDecoder.motion_heads, feat_c)
+
+        rng, r_tok = jax.random.split(carry.rng)
+        carry = carry._replace(rng=rng)
+
+        probs = jax.nn.softmax(token_logits, axis=-1)
+        next_token = sample_from_topk(r_tok, probs, cfg.motion_beam_size)
+
+        next_state = jnp.argmax(state_logits, axis=-1).astype(jnp.int32)
+        next_state = jnp.where(next_state == 2, EXIT_STATE, next_state)
+        next_state = next_state.at[av].set(VALID_STATE)
+        if not cfg.use_state_token:
+            next_state = jnp.where(next_state == EXIT_STATE, VALID_STATE,
+                                   next_state)
+        if cfg.disable_insertion:
+            next_state = jnp.full_like(next_state, VALID_STATE)
+        next_state = jnp.where(carry.slot_active, next_state, INVALID_STATE)
+
+        # 3. de-tokenize: contour trajectory in world frame (:2176-2211)
+        pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
+        head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
+        vocab = token_traj_all[jnp.clip(carry.type_, 0, 2)]     # [A, V, 6, 4, 2]
+        tokc = jnp.take_along_axis(
+            vocab, jnp.clip(next_token, 0)[:, None, None, None, None],
+            axis=1)[:, 0]                                       # [A, 6, 4, 2]
+        rot = rot_mat_2d(head_c)
+        world = jnp.einsum("asci,aij->ascj", tokc, rot) + pos_c[:, None, None, :]
+
+        seg_traj = world[:, 1:].mean(axis=2)                    # [A, 5, 2]
+        seg_head = heading_from_contour(world[:, 1:])           # [A, 5]
+
+        is_invalid = next_state == INVALID_STATE
+        new_pos = jnp.where(is_invalid[:, None], 0.0, world[:, -1].mean(axis=1))
+        new_head = jnp.where(is_invalid, 0.0, heading_from_contour(world[:, -1]))
+
+        # ego-relative grid for the new column (:2213-2218)
+        g_new, _ = attr.encode_pos(new_pos, new_pos[av][None], new_head[av])
+        g_new = jnp.where(is_invalid | ~carry.slot_active, -1,
+                          g_new.astype(jnp.int32))
+        tok_new = jnp.where(is_invalid, -1, next_token.astype(jnp.int32))
+
+        upd = lambda arr, v: jax.lax.dynamic_update_index_in_dim(arr, v, c + 1, 1)
+        valid_next = jax.lax.dynamic_index_in_dim(carry.valid, c + 1, 1, False)
+        inter_next = jax.lax.dynamic_index_in_dim(carry.interact, c + 1, 1, False)
+        carry = carry._replace(
+            pos=upd(carry.pos, new_pos),
+            head=upd(carry.head, new_head),
+            state=upd(carry.state, next_state),
+            token=upd(carry.token, tok_new),
+            grid=upd(carry.grid, g_new),
+            valid=upd(carry.valid, jnp.where(is_invalid, False, valid_next)),
+            interact=upd(carry.interact,
+                         jnp.where(is_invalid, False, inter_next)),
+        )
+
+        # token / categorical embeddings at c+1 (:2233-2262)
+        t_idx = map_token_index(tok_new, cfg.token_size)
+        tok_emb_new = tables["token_tables"][jnp.clip(carry.type_, 0, 2), t_idx]
+
+        def cats(mdl):
+            d = mdl.agent_decoder
+            te = d.type_a_emb(jnp.where(is_invalid, SEED_TYPE, carry.type_))
+            se = d.shape_emb(jnp.where(is_invalid[:, None],
+                                       INVALID_SHAPE_VALUE, carry.shape))
+            return te, se
+        te_new, se_new = model.apply({"params": params}, method=cats)
+        carry = carry._replace(
+            token_emb=upd(carry.token_emb, tok_emb_new),
+            type_emb=upd(carry.type_emb, te_new),
+            shape_emb=upd(carry.shape_emb, se_new),
+        )
+
+        # 4. refresh fused features at c+1 (:2264-2287, incremental)
+        pos_pair = jax.lax.dynamic_slice_in_dim(carry.pos, c, 2, 1)
+        motion_new = pos_pair[:, 1] - pos_pair[:, 0]
+        state_new = next_state
+        inv_new = state_new == INVALID_STATE
+        motion_new = jnp.where(inv_new[:, None], E.INVALID_MOTION_VALUE,
+                               motion_new)
+        prev_inv = jax.lax.dynamic_index_in_dim(carry.state, c, 1,
+                                                False) == INVALID_STATE
+        motion_new = jnp.where((prev_inv & ~inv_new)[:, None], E.MOTION_GAP,
+                               motion_new)
+        motion_new = jnp.where((~prev_inv & inv_new)[:, None], -E.MOTION_GAP,
+                               motion_new)
+        hv_new = jnp.stack([jnp.cos(new_head), jnp.sin(new_head)], -1)
+
+        def fuse_col(mdl):
+            d = mdl.agent_decoder
+            grid_emb = tables["grid_table"][jnp.where(g_new >= 0, g_new, G)]
+            feat = jnp.stack([
+                jnp.linalg.norm(motion_new, axis=-1),
+                angle_between_2d_vectors(hv_new, motion_new),
+            ], axis=-1)
+            x_a = d.x_a_emb(feat, categorical_embs=[te_new, se_new])
+            s_a = d.state_a_emb(state_new)
+            parts = [tok_emb_new, x_a, s_a]
+            if cfg.use_grid_token:
+                parts.append(grid_emb)
+            return d.fusion_emb(jnp.concatenate(parts, axis=-1))
+        feat_new = model.apply({"params": params}, method=fuse_col)
+        carry = carry._replace(raw_feat=upd(carry.raw_feat, feat_new))
+
+        # 5. write 10 Hz predictions for this segment
+        seg = t * SHIFT
+        wseg = lambda arr, v: jax.lax.dynamic_update_slice_in_dim(arr, v, seg, 1)
+        carry = carry._replace(
+            pred_traj=wseg(carry.pred_traj, seg_traj),
+            pred_head=wseg(carry.pred_head, seg_head),
+            pred_state=wseg(carry.pred_state,
+                            jnp.repeat(next_state[:, None], SHIFT, 1).astype(
+                                carry.pred_state.dtype)),
+        )
+
+        out = dict(n_inserted=n_new, seed_probs=seed_probs,
+                   next_token=tok_new, next_state=next_state)
+        return carry, out
+
+    # ---------------------------------------------------------------- #
+    # outputs
+    # ---------------------------------------------------------------- #
+
+    def _finalize(carry, outs, scenario, inputs, init_active, av):
+        Hs = cfg.num_historical_steps
+        A_ = carry.pos.shape[0]
+        pred_traj = jnp.concatenate(
+            [jnp.zeros((A_, Hs, 2)), carry.pred_traj], axis=1)
+        pred_head = jnp.concatenate([jnp.zeros((A_, Hs)), carry.pred_head], 1)
+        pred_state = jnp.concatenate([jnp.zeros((A_, Hs)), carry.pred_state], 1)
+
+        # stitch history from tokens (agent_decoder.py:2311-2335)
+        hist_tok = jnp.clip(inputs.tokens.token_idx[:, :H], 0)
+        vocab = token_traj_all[jnp.clip(carry.type_, 0, 2)]
+        htraj = jnp.take_along_axis(
+            vocab, hist_tok[:, :, None, None, None], axis=1)    # [A, H, 6, 4, 2]
+        init_theta = inputs.tokens.token_heading[:, 0]
+        rot = rot_mat_2d(init_theta)
+        htraj = jnp.einsum("ahsci,aij->ahscj", htraj, rot) + \
+            inputs.tokens.token_pos[:, 0][:, None, None, None, :]
+        hist_xy = htraj[:, :, 1:].mean(axis=3).reshape(A_, H * SHIFT, 2)
+        hist_hd = heading_from_contour(htraj[:, :, 1:]).reshape(A_, H * SHIFT)
+        pred_traj = pred_traj.at[:, 1:Hs].set(
+            jnp.where(init_active[:, None, None], hist_xy, 0.0))
+        pred_head = pred_head.at[:, 1:Hs].set(
+            jnp.where(init_active[:, None], hist_hd, 0.0))
+        pred_traj = pred_traj.at[:, 0].set(
+            jnp.where(init_active[:, None],
+                      scenario.agents.position[:, 0, :2], 0.0))
+        pred_head = pred_head.at[:, 0].set(
+            jnp.where(init_active, scenario.agents.heading[:, 0], 0.0))
+        hist_state = jnp.repeat(inputs.tokens.state_idx[:, :H], SHIFT, axis=1)
+        pred_state = pred_state.at[:, 1:Hs].set(
+            jnp.where(init_active[:, None], hist_state.astype(pred_state.dtype), 0.0))
+
+        pred_valid = (pred_state != INVALID_STATE) & (pred_state != ENTER_STATE)
+
+        eval_shape = jnp.stack([
+            jnp.where(carry.type_ == 0, 4.3, jnp.where(carry.type_ == 1, 0.5, 1.9)),
+            jnp.where(carry.type_ == 0, 1.8, jnp.where(carry.type_ == 1, 0.5, 0.5)),
+            jnp.ones_like(carry.type_, jnp.float32),
+        ], axis=-1)
+
+        return dict(
+            av_index=av,
+            slot_active=carry.slot_active,
+            valid_mask=carry.valid,
+            pos_a=carry.pos,
+            head_a=carry.head,
+            pred_traj=pred_traj,
+            pred_head=pred_head,
+            pred_state=pred_state,
+            pred_valid=pred_valid,
+            pred_type=carry.type_,
+            pred_shape=carry.shape,
+            eval_shape=eval_shape,
+            next_token_idx=jnp.where(carry.token == -2, -1, carry.token),
+            next_state_idx=carry.state,
+            n_inserted=carry.n_inserted,
+            per_step_inserted=outs["n_inserted"],
+            seed_probs=outs["seed_probs"],
+        )
+
+    if jit:
+        return jax.jit(rollout)
+    return rollout

@@ -20,32 +20,42 @@ def _stub(name, **attrs):
 
 def import_reference():
     if _REF not in sys.path:
-        class EasyDict(dict):
-            def __getattr__(self, k):
-                return self[k]
+        def _missing(name):
+            try:
+                __import__(name)
+                return False
+            except ImportError:
+                return True
 
-            def __setattr__(self, k, v):
-                self[k] = v
+        if _missing("easydict"):
+            class EasyDict(dict):
+                def __getattr__(self, k):
+                    return self[k]
 
-        _stub("easydict", EasyDict=EasyDict)
+                def __setattr__(self, k, v):
+                    self[k] = v
 
-        class Console:
-            def __init__(self, *a, **k):
-                pass
+            _stub("easydict", EasyDict=EasyDict)
 
-            def log(self, *a, **k):
-                pass
+        if _missing("rich"):
+            class Console:
+                def __init__(self, *a, **k):
+                    pass
 
-        rich = _stub("rich")
-        rich.console = _stub("rich.console", Console=Console)
+                def log(self, *a, **k):
+                    pass
 
-        lu = _stub("lightning_utilities")
-        lu.core = _stub("lightning_utilities.core")
-        lu.core.rank_zero = _stub(
-            "lightning_utilities.core.rank_zero",
-            rank_prefixed_message=lambda msg, rank: msg,
-            rank_zero_only=lambda fn, default=None: fn,
-        )
+            rich = _stub("rich")
+            rich.console = _stub("rich.console", Console=Console)
+
+        if _missing("lightning_utilities"):
+            lu = _stub("lightning_utilities")
+            lu.core = _stub("lightning_utilities.core")
+            lu.core.rank_zero = _stub(
+                "lightning_utilities.core.rank_zero",
+                rank_prefixed_message=lambda msg, rank: msg,
+                rank_zero_only=lambda fn, default=None: fn,
+            )
         sys.path.insert(0, _REF)
 
     from infgen.datasets import preprocess as ref_preprocess

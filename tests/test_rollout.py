@@ -1,0 +1,85 @@
+"""Closed-loop rollout tests: shape/invariant checks on a small config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infgen_tpu.config import Config, ENTER_STATE, INVALID_STATE, SHIFT
+from infgen_tpu.data.features import build_model_inputs
+from infgen_tpu.data.synthetic import make_synthetic_scenario
+from infgen_tpu.model.infgen import InfGenModel
+from infgen_tpu.rollout.closed_loop import make_rollout_fn
+from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+from infgen_tpu.tokenizers.motion_tokenizer import MotionTokenizer
+from infgen_tpu.tokenizers.vocab import load_map_vocab
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(max_agents=16, max_map_tokens=128, num_agent_layers=2,
+                 num_seed_layers=1, num_map_layers=1, hidden_dim=32,
+                 num_heads=2, head_dim=16, num_freq_bands=8,
+                 num_recurrent_steps_val=30)  # 6 rollout steps
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    mt = MotionTokenizer()
+    map_vocab = load_map_vocab()
+    scenario = make_synthetic_scenario(cfg, seed=2, num_agents=10)
+    inputs = build_model_inputs(cfg, mt, attr, scenario, jax.random.PRNGKey(0))
+    model = InfGenModel(cfg, attr.grid, attr.grid_size, attr.angle_size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        jax.random.PRNGKey(2), deterministic=True)
+    rollout = make_rollout_fn(model, cfg, attr, mt, map_vocab, jit=True)
+    out = rollout(variables["params"], scenario, inputs, jax.random.PRNGKey(7))
+    return cfg, scenario, inputs, out
+
+
+def test_rollout_shapes(setup):
+    cfg, scenario, inputs, out = setup
+    A = cfg.max_agents
+    R = cfg.num_recurrent_steps_val
+    Ti = (R + cfg.num_historical_steps) // SHIFT
+    assert out["pred_traj"].shape == (A, cfg.num_historical_steps + R, 2)
+    assert out["pred_state"].shape == (A, cfg.num_historical_steps + R)
+    assert out["next_token_idx"].shape == (A, Ti)
+    assert out["next_state_idx"].shape == (A, Ti)
+    for k in ("pred_traj", "pred_head", "pos_a", "head_a"):
+        assert bool(jnp.isfinite(out[k]).all()), k
+
+
+def test_rollout_invariants(setup):
+    cfg, scenario, inputs, out = setup
+    state = np.asarray(out["next_state_idx"])
+    pos = np.asarray(out["pos_a"])
+    active = np.asarray(out["slot_active"])
+    av = int(out["av_index"])
+
+    # invalid steps carry zero positions (reference asserts this, :2351)
+    assert np.all(pos[state == INVALID_STATE] == 0)
+    # ego is forced valid through the whole rollout
+    assert np.all(state[av, 2:] == 1)
+    # inactive slots never produce valid states
+    assert np.all(state[~active] == INVALID_STATE) or active.all()
+    # initial agents that were active stay bounded (tokens move <= ~15m/token)
+    act_pos = pos[active][:, 2:]
+    step_jump = np.linalg.norm(np.diff(act_pos, axis=1), axis=-1)
+    valid_pairs = (np.asarray(out["next_state_idx"])[active][:, 2:-1] != 0) & \
+                  (np.asarray(out["next_state_idx"])[active][:, 3:] != 0)
+    assert step_jump[valid_pairs].max() < 40.0, "untrained motion should stay in vocab range"
+
+
+def test_rollout_insertion_counts(setup):
+    cfg, scenario, inputs, out = setup
+    n_ins = int(out["n_inserted"])
+    per_step = np.asarray(out["per_step_inserted"])
+    assert per_step.sum() == n_ins
+    assert per_step[0] == 0  # no insertion at t=0
+    assert (per_step <= cfg.insert_limit).all()
+    # inserted agents occupy previously-free slots
+    n_initial = int(np.asarray(inputs.slot_mask).sum())
+    n_active = int(np.asarray(out["slot_active"]).sum())
+    assert n_active <= cfg.max_agents
+    assert n_active >= min(n_initial, n_active)
