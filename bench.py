@@ -48,10 +48,11 @@ def main():
     mt = MotionTokenizer()
     map_vocab = load_map_vocab()
     scenario = make_synthetic_scenario(cfg, seed=0, num_agents=64)
-    inputs = build_model_inputs(cfg, mt, attr, scenario, jax.random.PRNGKey(0))
+    inputs = jax.jit(lambda s, r: build_model_inputs(cfg, mt, attr, s, r))(
+        scenario, jax.random.PRNGKey(0))
 
     model = InfGenModel(cfg, attr.grid, attr.grid_size, attr.angle_size)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
         jax.random.PRNGKey(2), deterministic=True)

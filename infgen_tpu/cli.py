@@ -1,0 +1,129 @@
+"""CLI entry point: train / validate / rollout.
+
+Equivalent of the reference run.py:51-182, minus Lightning: modes dispatch to
+the JAX train loop or the closed-loop rollout + WOSAC scoring.
+
+  python -m infgen_tpu.cli train --config configs/ours_long_term.yaml --synthetic
+  python -m infgen_tpu.cli rollout --config configs/ours_long_term.yaml --synthetic
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("infgen_tpu")
+    p.add_argument("mode", choices=["train", "validate", "rollout"])
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic scenario generator (no WOMD data)")
+    p.add_argument("--data_dir", default=None, help="preprocessed WOMD pkl dir")
+    p.add_argument("--save_dir", default="runs/default")
+    p.add_argument("--ckpt_path", default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--num_scenarios", type=int, default=8)
+    p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        if args.devices:
+            jax.config.update("jax_num_cpu_devices", args.devices)
+
+    import jax
+
+    from infgen_tpu.config import Config, load_config
+
+    cfg = load_config(args.config) if args.config else Config()
+
+    if args.mode == "train":
+        from infgen_tpu.train.loop import SyntheticDataset, train
+        if args.synthetic or not args.data_dir:
+            dataset = SyntheticDataset(cfg)
+        else:
+            from infgen_tpu.data.waymo import WaymoDataset
+            dataset = WaymoDataset(args.data_dir, cfg, training=True)
+        train(cfg, dataset, save_dir=args.save_dir, max_steps=args.max_steps)
+
+    elif args.mode in ("validate", "rollout"):
+        import numpy as np
+
+        from infgen_tpu.data.features import build_model_inputs
+        from infgen_tpu.metrics.features import compute_metric_features
+        from infgen_tpu.metrics.wosac import (
+            WosacConfig, compute_scenario_metrics, make_log_distributions)
+        from infgen_tpu.rollout.closed_loop import make_rollout_fn
+        from infgen_tpu.train.train_step import Trainer
+
+        trainer = Trainer(cfg)
+        if args.synthetic or not args.data_dir:
+            from infgen_tpu.train.loop import SyntheticDataset
+            dataset = SyntheticDataset(cfg, size=args.num_scenarios)
+        else:
+            from infgen_tpu.data.waymo import WaymoDataset
+            dataset = WaymoDataset(args.data_dir, cfg, training=False)
+
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed), dataset[0])
+        if args.ckpt_path:
+            from infgen_tpu.train.checkpoint import CheckpointManager
+            ckpt = CheckpointManager(args.ckpt_path)
+            restored = ckpt.restore(jax.device_get(state))
+            if restored is not None:
+                state = restored
+                print(f"loaded checkpoint step {int(np.asarray(state.step))}")
+
+        rollout = make_rollout_fn(trainer.model, cfg, trainer.attr,
+                                  trainer.motion_tok, trainer.map_vocab)
+        build = jax.jit(lambda s, r: build_model_inputs(
+            cfg, trainer.motion_tok, trainer.attr, s, r))
+
+        os.makedirs(args.save_dir, exist_ok=True)
+        wcfg = WosacConfig()
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        all_metrics = []
+        for i in range(min(args.num_scenarios, len(dataset))):
+            scen = dataset[i]
+            rng, r1, r2 = jax.random.split(rng, 3)
+            inputs = build(scen, r1)
+            out = rollout(state.params, scen, inputs, r2)
+
+            # log (GT) features from the scenario itself as the reference
+            # distribution for a self-contained score
+            T10 = int(scen.agents.valid.shape[1])
+            gt_state = np.asarray(inputs.tokens.state_idx)
+            gt_feats = compute_metric_features(
+                scen.agents.position[..., :2], scen.agents.heading,
+                scen.agents.valid, scen.agents.shape[:, 0],
+                scen.agents.shape[:, 1], scen.agents.slot_mask,
+                int(scen.agents.av_index), inputs.tokens.token_pos, gt_state)
+            log_dist = make_log_distributions(wcfg, gt_feats)
+
+            Hs = cfg.num_historical_steps
+            sim_feats = compute_metric_features(
+                out["pred_traj"], out["pred_head"],
+                np.asarray(out["pred_valid"]), out["eval_shape"][:, 0],
+                out["eval_shape"][:, 1], out["slot_active"],
+                int(out["av_index"]),
+                out["pos_a"], out["next_state_idx"])
+            m = compute_scenario_metrics(wcfg, log_dist, sim_feats)
+            m = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v).tolist())
+                 for k, v in m.items()}
+            m["scenario"] = i
+            m["n_inserted"] = int(out["n_inserted"])
+            all_metrics.append(m)
+            print(f"scenario {i}: metametric={m['metametric']:.4f} "
+                  f"collision_rate={m['simulated_collision_rate']:.3f} "
+                  f"inserted={m['n_inserted']}")
+
+        with open(os.path.join(args.save_dir, "rollout_metrics.json"), "w") as f:
+            json.dump(all_metrics, f, indent=2)
+        mean_meta = float(np.mean([m["metametric"] for m in all_metrics]))
+        print(f"mean metametric over {len(all_metrics)} scenarios: {mean_meta:.4f}")
+
+
+if __name__ == "__main__":
+    main()

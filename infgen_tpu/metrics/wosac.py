@@ -1,0 +1,247 @@
+"""WOSAC-long realism metrics: histogram likelihoods + metametric.
+
+Port of the likelihood machinery in infgen/metrics/compute_metrics.py
+(:841-1105 sim scoring, :1105-1163 log histograms, :469-497 metametric) with
+defaults from infgen/metrics/metric_config.textproto. All scoring is pure jnp
+and can run on device.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from infgen_tpu.config import SHIFT
+from infgen_tpu.metrics.features import (
+    MetricFeatures,
+    N_SIMULATION_STEPS,
+    compute_kinematic_validity,
+    unfold_features,
+)
+
+
+@dataclass(frozen=True)
+class HistogramSpec:
+    min_val: float
+    max_val: float
+    num_bins: int
+    pseudocount: float = 0.1
+    weight: float = 0.0
+
+
+@dataclass(frozen=True)
+class WosacConfig:
+    """Defaults: infgen/metrics/metric_config.textproto:1-139.
+
+    The metametric field list excludes road-edge/offroad
+    (compute_metrics.py:44-46).
+    """
+
+    linear_speed: HistogramSpec = HistogramSpec(0.0, 25.0, 10, 0.1, 0.05)
+    linear_acceleration: HistogramSpec = HistogramSpec(-12.0, 12.0, 11, 0.1, 0.05)
+    angular_speed: HistogramSpec = HistogramSpec(-0.628, 0.628, 11, 0.1, 0.05)
+    angular_acceleration: HistogramSpec = HistogramSpec(-3.14, 3.14, 11, 0.1, 0.05)
+    distance_to_nearest_object: HistogramSpec = HistogramSpec(-5.0, 40.0, 10, 0.1, 0.1)
+    collision_indication: HistogramSpec = HistogramSpec(-0.5, 0.5, 2, 0.1, 0.25)
+    time_to_collision: HistogramSpec = HistogramSpec(0.0, 5.0, 10, 0.1, 0.1)
+    num_placement: HistogramSpec = HistogramSpec(0.0, 10.0, 5, 0.1, 0.1)
+    num_removement: HistogramSpec = HistogramSpec(0.0, 10.0, 5, 0.1, 0.1)
+    distance_placement: HistogramSpec = HistogramSpec(0.0, 75.0, 10, 0.1, 0.1)
+    distance_removement: HistogramSpec = HistogramSpec(0.0, 75.0, 10, 0.1, 0.1)
+
+    def fields(self):
+        return ("linear_speed", "linear_acceleration", "angular_speed",
+                "angular_acceleration", "distance_to_nearest_object",
+                "collision_indication", "time_to_collision", "num_placement",
+                "num_removement", "distance_placement", "distance_removement")
+
+
+def _histogram_log_probs(spec: HistogramSpec, values, valid=None):
+    """Smoothed log-prob per bin from logged feature values.
+
+    Reference: _get_log_distributions (compute_metrics.py:1105-1163): clamp to
+    range, histogram, add pseudocount, normalize.
+    values: flat array; valid: optional bool mask.
+    """
+    edges = jnp.linspace(spec.min_val, spec.max_val, spec.num_bins + 1)
+    v = values.reshape(-1).astype(jnp.float32)
+    ok = jnp.isfinite(v)
+    if valid is not None:
+        ok = ok & valid.reshape(-1)
+    v = jnp.clip(v, spec.min_val, spec.max_val)
+    bin_idx = jnp.clip(jnp.searchsorted(edges, v, side="right") - 1,
+                       0, spec.num_bins - 1)
+    counts = (jax.nn.one_hot(bin_idx, spec.num_bins) * ok[:, None]).sum(0)
+    counts = counts + spec.pseudocount
+    return jnp.log(counts / counts.sum())
+
+
+def _value_log_likelihood(spec: HistogramSpec, log_probs, sim_values):
+    """Per-value log-likelihood under the logged histogram.
+
+    Mirrors log_likelihood_estimate_timeseries (compute_metrics.py:841-888):
+    each sim value maps to its own histogram bin; values outside the range or
+    NaN fall into bin 0 (the reference's torch.histogram-of-one-value quirk).
+    """
+    edges = jnp.linspace(spec.min_val, spec.max_val, spec.num_bins + 1)
+    v = sim_values.astype(jnp.float32)
+    in_range = jnp.isfinite(v) & (v >= spec.min_val) & (v <= spec.max_val)
+    bin_idx = jnp.clip(jnp.searchsorted(edges, v, side="right") - 1,
+                       0, spec.num_bins - 1)
+    bin_idx = jnp.where(in_range, bin_idx, 0)
+    return log_probs[bin_idx]
+
+
+def _avg_valid(x, validity):
+    """Masked average over the last axis (compute_metrics.py:746-766)."""
+    s = jnp.where(validity, x, 0.0).sum(-1)
+    n = validity.sum(-1)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), -jnp.inf)
+
+
+def _mean_finite(x, axis=None):
+    """Mean over finite entries (_reduce_mean ignores -inf rows via validity
+    upstream; we guard against empty/-inf here)."""
+    ok = jnp.isfinite(x)
+    s = jnp.where(ok, x, 0.0).sum(axis=axis)
+    n = ok.sum(axis=axis)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
+
+
+class LogDistributions(NamedTuple):
+    """Per-field smoothed log histogram [num_bins]."""
+    linear_speed: jnp.ndarray
+    linear_acceleration: jnp.ndarray
+    angular_speed: jnp.ndarray
+    angular_acceleration: jnp.ndarray
+    distance_to_nearest_object: jnp.ndarray
+    collision_indication: jnp.ndarray
+    time_to_collision: jnp.ndarray
+    num_placement: jnp.ndarray
+    num_removement: jnp.ndarray
+    distance_placement: jnp.ndarray
+    distance_removement: jnp.ndarray
+
+
+def make_log_distributions(cfg: WosacConfig, log_features: MetricFeatures
+                           ) -> LogDistributions:
+    """Build the logged (ground-truth) histograms from aggregated features.
+
+    Distance fields filter to in-range values; num_placement drops the last
+    two steps (compute_metrics.py:1138-1143).
+    """
+    f = log_features
+
+    def hist(spec, values, valid=None):
+        return _histogram_log_probs(spec, values, valid)
+
+    speed_v, accel_v = compute_kinematic_validity(f.valid)
+    coll = jnp.where(f.valid, f.collision_per_step, False).any(-1)
+    dist_pl_ok = (f.distance_placement > cfg.distance_placement.min_val) & \
+                 (f.distance_placement < cfg.distance_placement.max_val)
+    dist_rm_ok = (f.distance_removement > cfg.distance_removement.min_val) & \
+                 (f.distance_removement < cfg.distance_removement.max_val)
+    return LogDistributions(
+        linear_speed=hist(cfg.linear_speed, f.linear_speed, speed_v),
+        linear_acceleration=hist(cfg.linear_acceleration, f.linear_acceleration, accel_v),
+        angular_speed=hist(cfg.angular_speed, f.angular_speed, speed_v),
+        angular_acceleration=hist(cfg.angular_acceleration, f.angular_acceleration, accel_v),
+        distance_to_nearest_object=hist(cfg.distance_to_nearest_object,
+                                        f.distance_to_nearest_object, f.valid),
+        collision_indication=hist(cfg.collision_indication, coll.astype(jnp.float32)),
+        time_to_collision=hist(cfg.time_to_collision, f.time_to_collision, f.valid),
+        num_placement=hist(cfg.num_placement, f.num_placement[:, :-2].astype(jnp.float32)),
+        num_removement=hist(cfg.num_removement, f.num_removement.astype(jnp.float32)),
+        distance_placement=hist(cfg.distance_placement, f.distance_placement,
+                                dist_pl_ok),
+        distance_removement=hist(cfg.distance_removement, f.distance_removement,
+                                 dist_rm_ok),
+    )
+
+
+def compute_scenario_metrics(cfg: WosacConfig, log_dist: LogDistributions,
+                             sim: MetricFeatures) -> Dict[str, jnp.ndarray]:
+    """Score one scenario's rollout against the logged distributions.
+
+    Returns scalar likelihoods per field, the metametric, the simulated
+    collision rate, and per-window `*_long` curves.
+    Reference: compute_scenario_metrics_for_bundle (compute_metrics.py:891-1100).
+    """
+    flat = sim
+    simw = unfold_features(sim)          # windows: [..., n_window, size]
+
+    out = {}
+    long = {}
+
+    # kinematic fields share validity windows
+    speed_v, accel_v = compute_kinematic_validity(flat.valid)
+    speed_vw = unfold_features(flat._replace(valid=speed_v)).valid
+    accel_vw = unfold_features(flat._replace(valid=accel_v)).valid
+
+    def score(name, spec, values, validity):
+        ll = _value_log_likelihood(spec, getattr(log_dist, name), values)
+        per_win = jnp.exp(_avg_valid(ll, validity))       # [A, n_window]
+        out[name] = _mean_finite(per_win)
+        long[name] = _mean_finite(per_win, axis=0)        # [n_window]
+
+    score("linear_speed", cfg.linear_speed, simw.linear_speed, speed_vw)
+    score("angular_speed", cfg.angular_speed, simw.angular_speed, speed_vw)
+    score("linear_acceleration", cfg.linear_acceleration,
+          simw.linear_acceleration, accel_vw)
+    score("angular_acceleration", cfg.angular_acceleration,
+          simw.angular_acceleration, accel_vw)
+
+    # collision: bernoulli over any-collision per window
+    coll_w = jnp.where(simw.valid, simw.collision_per_step, False).any(-1)
+    ll_coll = _value_log_likelihood(
+        cfg.collision_indication, log_dist.collision_indication,
+        coll_w.astype(jnp.float32))
+    out["collision_indication"] = jnp.exp(ll_coll.mean())
+    long["collision_indication"] = _mean_finite(jnp.exp(ll_coll), axis=0)
+
+    dno_valid = simw.valid & \
+        (simw.distance_to_nearest_object >= cfg.distance_to_nearest_object.min_val) & \
+        (simw.distance_to_nearest_object <= cfg.distance_to_nearest_object.max_val)
+    score("distance_to_nearest_object", cfg.distance_to_nearest_object,
+          simw.distance_to_nearest_object, dno_valid)
+    score("time_to_collision", cfg.time_to_collision, simw.time_to_collision,
+          simw.valid)
+
+    # placement: per-scenario series
+    ll_np = _value_log_likelihood(cfg.num_placement, log_dist.num_placement,
+                                  simw.num_placement.astype(jnp.float32))
+    out["num_placement"] = jnp.exp(ll_np.mean())
+    long["num_placement"] = jnp.exp(ll_np.mean(-1))[0]
+    ll_nr = _value_log_likelihood(cfg.num_removement, log_dist.num_removement,
+                                  simw.num_removement.astype(jnp.float32))
+    out["num_removement"] = jnp.exp(ll_nr.mean())
+    long["num_removement"] = jnp.exp(ll_nr.mean(-1))[0]
+
+    # token-rate validity for distance placement (compute_metrics.py:1029-1046)
+    tok_valid = flat.valid[..., ::SHIFT]
+    tok_valid_w = unfold_features(flat._replace(
+        distance_placement=tok_valid)).distance_placement
+    for name in ("distance_placement", "distance_removement"):
+        spec = getattr(cfg, name)
+        vals = getattr(simw, name)
+        validity = tok_valid_w & (vals > spec.min_val) & (vals < spec.max_val)
+        score(name, spec, vals, validity)
+
+    # metametric (compute_metrics.py:469-497)
+    metametric = sum(getattr(cfg, n).weight * out[n] for n in cfg.fields())
+    meta_long = sum(getattr(cfg, n).weight * long[n] for n in cfg.fields())
+    zero_any = sum((long[n] == 0).astype(jnp.float32) for n in cfg.fields()) > 0
+    meta_long = jnp.where(zero_any, 0.0, meta_long)
+
+    coll_ind = jnp.where(flat.valid, flat.collision_per_step, False).any(-1)
+    out["simulated_collision_rate"] = coll_ind.mean()
+    out["metametric"] = metametric
+    return {
+        **{f"{k}_likelihood": v for k, v in out.items()
+           if k not in ("simulated_collision_rate", "metametric")},
+        "metametric": metametric,
+        "simulated_collision_rate": out["simulated_collision_rate"],
+        "wosac_long/metametric": meta_long,
+        **{f"wosac_long/{k}_likelihood": v for k, v in long.items()},
+    }

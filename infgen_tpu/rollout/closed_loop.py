@@ -110,7 +110,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     W = min(cfg.time_span // SHIFT, Ti)                  # temporal window 12
     G = attr.grid_size
     grid_xy = attr.grid                                  # [G, 2]
-    token_traj_all = jnp.stack([motion_tok.vocab[k] for k in ("veh", "ped", "cyc")])
+    import numpy as _np
+    token_traj_all = _np.stack([_np.asarray(motion_tok.vocab[k]) for k in ("veh", "ped", "cyc")])
 
     dec_method = lambda fn: (lambda mdl, *a, **k: fn(mdl.agent_decoder, *a, **k))
 
@@ -430,7 +431,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         return carry, n_new, probs
 
     def _decode_pos(g_idx, ego_pos, ego_head):
-        centered = grid_xy[g_idx]
+        centered = jnp.asarray(grid_xy)[g_idx]
         rot = rot_mat_2d(ego_head - jnp.pi / 2)
         return centered @ rot + ego_pos
 
@@ -622,7 +623,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # 3. de-tokenize: contour trajectory in world frame (:2176-2211)
         pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
         head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
-        vocab = token_traj_all[jnp.clip(carry.type_, 0, 2)]     # [A, V, 6, 4, 2]
+        vocab = jnp.asarray(token_traj_all)[jnp.clip(carry.type_, 0, 2)]     # [A, V, 6, 4, 2]
         tokc = jnp.take_along_axis(
             vocab, jnp.clip(next_token, 0)[:, None, None, None, None],
             axis=1)[:, 0]                                       # [A, 6, 4, 2]
@@ -733,7 +734,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
         # stitch history from tokens (agent_decoder.py:2311-2335)
         hist_tok = jnp.clip(inputs.tokens.token_idx[:, :H], 0)
-        vocab = token_traj_all[jnp.clip(carry.type_, 0, 2)]
+        vocab = jnp.asarray(token_traj_all)[jnp.clip(carry.type_, 0, 2)]
         htraj = jnp.take_along_axis(
             vocab, hist_tok[:, :, None, None, None], axis=1)    # [A, H, 6, 4, 2]
         init_theta = inputs.tokens.token_heading[:, 0]

@@ -42,10 +42,14 @@ class AttrTokenizer:
         square_mask = (dist <= radius) | (dist == 0.0)
         self.num_grid = num_grid
         self.square_mask = square_mask
-        self.grid = jnp.asarray(grid[square_mask])  # [grid_size, 2]
-        self.dist = jnp.linalg.norm(self.grid, axis=-1)
-        head_vec = jnp.array([math.cos(self.HEADING), math.sin(self.HEADING)])
-        self.dir = angle_between_2d_vectors(head_vec[None], self.grid)
+        # host-side numpy buffers: eager jnp here would dispatch to the device
+        # at construction time (very costly on remote TPU backends); as numpy
+        # they fold into jit programs as constants for free.
+        self.grid = grid[square_mask].astype(np.float32)  # [grid_size, 2]
+        self.dist = np.linalg.norm(self.grid, axis=-1)
+        hx, hy = math.cos(self.HEADING), math.sin(self.HEADING)
+        self.dir = np.arctan2(hx * self.grid[:, 1] - hy * self.grid[:, 0],
+                              hx * self.grid[:, 0] + hy * self.grid[:, 1])
 
         self.grid_size = int(self.grid.shape[0])
         self.angle_size = int(360.0 / angle_interval)
@@ -66,12 +70,12 @@ class AttrTokenizer:
             centered = jnp.einsum("...i,...ij->...j", centered, rot)
         d2 = ((centered[..., None, :] - self.grid) ** 2).sum(-1)  # [..., grid_size]
         index = jnp.argmin(d2, axis=-1)
-        offset = centered - self.grid[index]
+        offset = centered - jnp.asarray(self.grid)[index]
         return index, offset
 
     def decode_pos(self, index, y=None, theta_y=None):
         """Inverse of encode_pos (cell center only). Reference: attr_tokenizer.py:91-99."""
-        centered = self.grid[index]
+        centered = jnp.asarray(self.grid)[index]
         if y is not None:
             if theta_y is not None:
                 rot = rot_mat_2d(theta_y - self.HEADING)

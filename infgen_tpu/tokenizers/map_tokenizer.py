@@ -151,15 +151,24 @@ class MapTokenizer:
         With `rng`, samples uniformly among the top-`noise_topk` matches
         (training-time noise, model/infgen.py:939-942).
         """
+        if rng is None:
+            # host-side numpy path (offline preprocessing; avoids eager device
+            # dispatch which is costly on remote TPU backends)
+            tp = np.asarray(traj_pos, np.float32)
+            th = np.asarray(traj_theta, np.float32)
+            cos, sin = np.cos(th), np.sin(th)
+            rot = np.stack([np.stack([cos, -sin], -1), np.stack([sin, cos], -1)], -2)
+            local = np.einsum("npi,nij->npj", tp - tp[:, 0:1], rot)
+            sp = np.asarray(self.sample_pt)
+            d2 = ((sp[None] - local[:, None]) ** 2).sum((-2, -1))
+            return d2.argmin(axis=-1).astype(np.int32)
         traj_pos = jnp.asarray(traj_pos, jnp.float32)
         traj_theta = jnp.asarray(traj_theta, jnp.float32)
         cos, sin = jnp.cos(traj_theta), jnp.sin(traj_theta)
         # rotate world->local: x @ [[c, -s], [s, c]] rotates row vectors by -theta
         rot = jnp.stack([jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2)
         local = jnp.einsum("npi,nij->npj", traj_pos - traj_pos[:, 0:1], rot)
-        d2 = ((self.sample_pt[None] - local[:, None]) ** 2).sum((-2, -1))  # [N, 1024]
-        if rng is None:
-            return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        d2 = ((jnp.asarray(self.sample_pt)[None] - local[:, None]) ** 2).sum((-2, -1))
         _, topk = jax.lax.top_k(-d2, noise_topk)
         choice = jax.random.randint(rng, (traj_pos.shape[0],), 0, noise_topk)
         return jnp.take_along_axis(topk, choice[:, None], axis=1)[:, 0].astype(jnp.int32)

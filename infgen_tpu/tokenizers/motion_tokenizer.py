@@ -170,9 +170,10 @@ class MotionTokenizer:
 
     def __init__(self, vocab=None, current_step: int = 10):
         self.vocab = vocab if vocab is not None else load_agent_vocab()
-        # [3, V, 6, 4, 2] stacked veh/ped/cyc
-        self.token_traj_all = jnp.stack(
-            [self.vocab["veh"], self.vocab["ped"], self.vocab["cyc"]], axis=0
+        # host-side numpy (jit constant): [3, V, 6, 4, 2] stacked veh/ped/cyc
+        self.token_traj_all = np.stack(
+            [np.asarray(self.vocab["veh"]), np.asarray(self.vocab["ped"]),
+             np.asarray(self.vocab["cyc"])], axis=0
         )
         self.token_traj = self.token_traj_all[:, :, -1]  # [3, V, 4, 2]
         self.current_step = current_step
@@ -188,7 +189,7 @@ class MotionTokenizer:
             valid, pos, heading, vel, self.current_step
         )
         shape_wl = matching_agent_shape(type_)
-        per_agent_vocab = self.token_traj[jnp.clip(type_, 0, 2)]  # [A, V, 4, 2]
+        per_agent_vocab = jnp.asarray(self.token_traj)[jnp.clip(type_, 0, 2)]  # [A, V, 4, 2]
 
         token_idx, token_contour = _match_scan(valid, pos, heading, shape_wl, per_agent_vocab)
 
@@ -231,7 +232,7 @@ class MotionTokenizer:
         Returns (traj [A, SHIFT+1, 4, 2] world contours).
         Reference: agent_decoder.py:2176-2198.
         """
-        vocab = self.token_traj_all[jnp.clip(type_, 0, 2)]      # [A, V, 6, 4, 2]
+        vocab = jnp.asarray(self.token_traj_all)[jnp.clip(type_, 0, 2)]      # [A, V, 6, 4, 2]
         tok = jnp.take_along_axis(
             vocab, jnp.clip(token_idx, 0, None)[:, None, None, None, None], axis=1
         )[:, 0]                                                 # [A, 6, 4, 2]

@@ -16,18 +16,19 @@ import numpy as np
 _TOKENS_DIR = os.path.join(os.path.dirname(__file__), "..", "tokens")
 
 
-def load_agent_vocab(path: str = None) -> Dict[str, jnp.ndarray]:
+def load_agent_vocab(path: str = None) -> Dict[str, np.ndarray]:
+    """Host-side numpy arrays: they fold into jit programs as constants."""
     path = path or os.path.join(_TOKENS_DIR, "agent_vocab.npz")
     data = np.load(path)
-    return {k: jnp.asarray(data[k], jnp.float32) for k in ("veh", "ped", "cyc")}
+    return {k: np.asarray(data[k], np.float32) for k in ("veh", "ped", "cyc")}
 
 
-def load_map_vocab(path: str = None) -> Dict[str, jnp.ndarray]:
+def load_map_vocab(path: str = None) -> Dict[str, np.ndarray]:
     path = path or os.path.join(_TOKENS_DIR, "map_vocab.npz")
     data = np.load(path)
-    out = {k: jnp.asarray(data[k], jnp.float32) for k in ("traj_src", "sample_pt")}
+    out = {k: np.asarray(data[k], np.float32) for k in ("traj_src", "sample_pt")}
     # heading at the end of each template (model/infgen.py:206-207)
     traj = np.asarray(data["traj_src"])
     end_theta = np.arctan2(traj[:, -1, 1] - traj[:, -2, 1], traj[:, -1, 0] - traj[:, -2, 0])
-    out["traj_end_theta"] = jnp.asarray(end_theta, jnp.float32)
+    out["traj_end_theta"] = np.asarray(end_theta, np.float32)
     return out

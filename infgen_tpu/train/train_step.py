@@ -67,7 +67,9 @@ class Trainer:
     def init_state(self, rng, scenario) -> TrainState:
         inputs = build_model_inputs(self.cfg, self.motion_tok, self.attr,
                                     scenario, rng)
-        variables = self.model.init(
+        # jit the init: flax init otherwise runs eagerly op-by-op, which is
+        # pathologically slow on remote TPU backends
+        variables = jax.jit(self.model.init, static_argnames=("deterministic",))(
             {"params": rng, "dropout": rng}, inputs, scenario.map,
             self.motion_tok.vocab, self.map_vocab["traj_src"], rng,
             deterministic=True)

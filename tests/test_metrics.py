@@ -1,0 +1,137 @@
+"""Metric feature parity vs the reference torch kernels + likelihood sanity."""
+
+import numpy as np
+import pytest
+import torch
+
+from infgen_tpu.metrics import features as F
+from infgen_tpu.metrics.wosac import WosacConfig, compute_scenario_metrics, make_log_distributions
+from tests.ref_oracle import import_reference
+
+import_reference()
+from infgen.metrics import interact_features as ref_interact  # noqa: E402
+from infgen.metrics import placement_features as ref_placement  # noqa: E402
+from infgen.metrics import trajectory_features as ref_traj  # noqa: E402
+
+A, T = 6, 40
+
+
+def _tracks(seed=0):
+    rng = np.random.default_rng(seed)
+    xy = np.cumsum(rng.normal(0, 0.5, (A, T, 2)), axis=1).astype(np.float32)
+    xy += rng.uniform(-20, 20, (A, 1, 2)).astype(np.float32)
+    heading = rng.uniform(-np.pi, np.pi, (A, 1)).astype(np.float32) + \
+        np.cumsum(rng.normal(0, 0.03, (A, T)), axis=1).astype(np.float32)
+    valid = np.ones((A, T), bool)
+    valid[2, :8] = False
+    length = rng.uniform(2, 5, A).astype(np.float32)
+    width = rng.uniform(1, 2, A).astype(np.float32)
+    return xy, heading, valid, length, width
+
+
+def test_kinematics_match_reference():
+    xy, heading, valid, _, _ = _tracks(1)
+    ls, la, as_, aa = F.compute_kinematic_features(
+        xy[..., 0], xy[..., 1], np.zeros_like(xy[..., 0]), heading)
+    rls, rla, ras, raa = ref_traj.compute_kinematic_features(
+        torch.tensor(xy[..., 0]), torch.tensor(xy[..., 1]),
+        torch.zeros(A, T), torch.tensor(heading), seconds_per_step=0.1)
+    np.testing.assert_allclose(np.asarray(ls)[:, 1:-1], rls.numpy()[:, 1:-1], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(la)[:, 2:-2], rla.numpy()[:, 2:-2], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(as_)[:, 1:-1], ras.numpy()[:, 1:-1], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(aa)[:, 2:-2], raa.numpy()[:, 2:-2], atol=1e-3)
+
+
+def test_distance_to_nearest_matches_reference():
+    xy, heading, valid, length, width = _tracks(2)
+    ours = F.compute_distance_to_nearest_object(
+        xy[..., 0], xy[..., 1], length, width, heading, valid, np.ones(A, bool))
+    ref = ref_interact.compute_distance_to_nearest_object(
+        center_x=torch.tensor(xy[..., 0]), center_y=torch.tensor(xy[..., 1]),
+        center_z=torch.zeros(A, T),
+        length=torch.tensor(length)[:, None].expand(A, T),
+        width=torch.tensor(width)[:, None].expand(A, T),
+        height=torch.ones(A, T),
+        heading=torch.tensor(heading), valid=torch.tensor(valid),
+        evaluated_object_mask=torch.ones(A).bool(),
+    )
+    ours_np = np.asarray(ours)
+    ref_np = ref.numpy()
+    # compare where both are "real" distances (not the LARGE placeholder)
+    m = (ref_np < 1e9) & (ours_np < 1e9)
+    assert m.mean() > 0.8
+    np.testing.assert_allclose(ours_np[m], ref_np[m], atol=1e-3)
+    assert ((ours_np >= 1e9) == (ref_np >= 1e9)).all()
+
+
+def test_ttc_matches_reference():
+    xy, heading, valid, length, width = _tracks(3)
+    # make two agents follow each other along +x for a meaningful TTC
+    xy[0, :, 0] = np.linspace(0, 40, T); xy[0, :, 1] = 0; heading[0] = 0.0
+    xy[1, :, 0] = np.linspace(8, 28, T); xy[1, :, 1] = 0; heading[1] = 0.0
+    ours = F.compute_time_to_collision(
+        xy[..., 0], xy[..., 1], length, width, heading, valid, np.ones(A, bool))
+    ref = ref_interact.compute_time_to_collision_with_object_in_front(
+        center_x=torch.tensor(xy[..., 0]), center_y=torch.tensor(xy[..., 1]),
+        length=torch.tensor(length)[:, None].expand(A, T).contiguous(),
+        width=torch.tensor(width)[:, None].expand(A, T).contiguous(),
+        heading=torch.tensor(heading), valid=torch.tensor(valid),
+        evaluated_object_mask=torch.ones(A).bool(), seconds_per_step=0.1,
+    )
+    np.testing.assert_allclose(np.asarray(ours)[:, 1:-1], ref.numpy()[:, 1:-1],
+                               atol=1e-3)
+
+
+def test_placement_matches_reference():
+    rng = np.random.default_rng(4)
+    Ttok = 12
+    state = rng.integers(0, 4, (A, Ttok)).astype(np.int64)
+    pos = rng.normal(0, 30, (A, Ttok, 2)).astype(np.float32)
+    av = 0
+    ids = np.arange(A)
+    nb, ne = F.compute_num_placement(state.copy(), av, np.ones(A, bool))
+    rnb, rne = ref_placement.compute_num_placement(
+        valid=torch.ones(A, Ttok).bool(), state=torch.tensor(state.copy()),
+        av_id=0, object_id=torch.tensor(ids),
+        agent_state=['invalid', 'valid', 'enter', 'exit'])
+    np.testing.assert_array_equal(np.asarray(nb), rnb.numpy())
+    np.testing.assert_array_equal(np.asarray(ne), rne.numpy())
+
+    db, de = F.compute_distance_placement(pos, state.copy(), av, np.ones(A, bool))
+    rdb, rde = ref_placement.compute_distance_placement(
+        position=torch.tensor(pos), state=torch.tensor(state.copy()),
+        valid=torch.ones(A, Ttok).bool(), av_id=0, object_id=torch.tensor(ids),
+        agent_state=['invalid', 'valid', 'enter', 'exit'])
+    np.testing.assert_allclose(np.asarray(db), rdb.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(de), rde.numpy(), atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def sim_features():
+    xy, heading, valid, length, width = _tracks(5)
+    T10 = 91 + 30
+    rng = np.random.default_rng(6)
+    xy = np.cumsum(rng.normal(0.3, 0.2, (A, T10, 2)), axis=1).astype(np.float32)
+    heading = np.zeros((A, T10), np.float32)
+    valid = np.ones((A, T10), bool)
+    Ttok = T10 // 5
+    state = np.ones((A, Ttok), np.int64)
+    token_pos = xy[:, ::5][:, :Ttok]
+    return F.compute_metric_features(
+        xy, heading, valid, length, width, np.ones(A, bool), 0,
+        token_pos, state)
+
+
+def test_likelihood_self_scoring(sim_features):
+    """Scoring features against their own distribution gives high likelihoods."""
+    cfg = WosacConfig()
+    log_dist = make_log_distributions(cfg, sim_features)
+    metrics = compute_scenario_metrics(cfg, log_dist, sim_features)
+    assert 0.0 < float(metrics["metametric"]) <= 1.0001
+    for name in cfg.fields():
+        v = float(metrics[f"{name}_likelihood"])
+        assert 0.0 <= v <= 1.0001, (name, v)
+    # self-scored kinematics should be confidently likely
+    assert float(metrics["linear_speed_likelihood"]) > 0.3
+    long_curve = np.asarray(metrics["wosac_long/metametric"])
+    assert long_curve.ndim == 1 and len(long_curve) >= 1
