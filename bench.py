@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import numpy as np
 
+from infgen_tpu.utils.jax_setup import enable_compile_cache
+
+enable_compile_cache()
+
 from infgen_tpu.config import Config
 from infgen_tpu.data.features import build_model_inputs
 from infgen_tpu.data.synthetic import make_synthetic_scenario

@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--num_scenarios", type=int, default=8)
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--dump_rollouts", action="store_true",
+                   help="save per-scenario rollout .npz for offline scoring")
+    p.add_argument("--plot_rollouts", action="store_true")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -34,6 +37,8 @@ def main(argv=None):
         if args.devices:
             jax.config.update("jax_num_cpu_devices", args.devices)
 
+    from infgen_tpu.utils.jax_setup import enable_compile_cache
+    enable_compile_cache()
     import jax
 
     from infgen_tpu.config import Config, load_config
@@ -88,8 +93,24 @@ def main(argv=None):
         for i in range(min(args.num_scenarios, len(dataset))):
             scen = dataset[i]
             rng, r1, r2 = jax.random.split(rng, 3)
+            # resume: skip scenarios already dumped (model/infgen.py:593-601)
+            dump_path = os.path.join(args.save_dir, f"rollout_{i:06d}.npz")
+            if args.dump_rollouts and os.path.exists(dump_path):
+                continue
             inputs = build(scen, r1)
             out = rollout(state.params, scen, inputs, r2)
+            if args.dump_rollouts:
+                from infgen_tpu.metrics.offline import save_rollout_dump
+                save_rollout_dump(dump_path, out)
+            if args.plot_rollouts:
+                from infgen_tpu.utils.visualization import plot_scenario_rollout
+                plot_scenario_rollout(
+                    f"scenario_{i:06d}", np.asarray(scen.map.position),
+                    np.asarray(out["pred_traj"]), np.asarray(out["pred_head"]),
+                    np.asarray(out["pred_state"]),
+                    np.asarray(out["pred_type"]), int(out["av_index"]),
+                    os.path.join(args.save_dir, "vis"),
+                    slot_active=np.asarray(out["slot_active"]))
 
             # log (GT) features from the scenario itself as the reference
             # distribution for a self-contained score
