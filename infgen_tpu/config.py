@@ -83,6 +83,7 @@ class Config:
     max_num: int = 32
 
     # --- model ---
+    decoder_type: str = "agent_decoder"  # or "occ_decoder"
     input_dim: int = 2
     hidden_dim: int = 128
     output_dim: int = 2

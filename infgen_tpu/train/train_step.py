@@ -51,8 +51,13 @@ class Trainer:
                                   cfg.pl2seed_radius, cfg.angle_interval)
         self.motion_tok = MotionTokenizer()
         self.map_vocab = load_map_vocab()
-        self.model = InfGenModel(cfg, self.attr.grid, self.attr.grid_size,
-                                 self.attr.angle_size)
+        self.is_occ_decoder = cfg.decoder_type == "occ_decoder"
+        if self.is_occ_decoder:
+            from infgen_tpu.model.occ_decoder import OccDecoder
+            self.model = OccDecoder(cfg, self.attr.grid_size)
+        else:
+            self.model = InfGenModel(cfg, self.attr.grid, self.attr.grid_size,
+                                     self.attr.angle_size)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip_norm),
             optax.adamw(learning_rate=lr_schedule(cfg)),
@@ -69,10 +74,15 @@ class Trainer:
                                     scenario, rng)
         # jit the init: flax init otherwise runs eagerly op-by-op, which is
         # pathologically slow on remote TPU backends
-        variables = jax.jit(self.model.init, static_argnames=("deterministic",))(
-            {"params": rng, "dropout": rng}, inputs, scenario.map,
-            self.motion_tok.vocab, self.map_vocab["traj_src"], rng,
-            deterministic=True)
+        if self.is_occ_decoder:
+            variables = jax.jit(self.model.init)(
+                {"params": rng}, inputs, scenario.map.position,
+                scenario.map.orientation, rng)
+        else:
+            variables = jax.jit(self.model.init, static_argnames=("deterministic",))(
+                {"params": rng, "dropout": rng}, inputs, scenario.map,
+                self.motion_tok.vocab, self.map_vocab["traj_src"], rng,
+                deterministic=True)
         params = variables["params"]
         opt_state = self.tx.init(params)
         return TrainState(params=params, opt_state=opt_state,
@@ -84,6 +94,12 @@ class Trainer:
         rng_in, rng_fwd, rng_drop = jax.random.split(rng, 3)
         inputs = build_model_inputs(self.cfg, self.motion_tok, self.attr,
                                     scenario, rng_in)
+        if self.is_occ_decoder:
+            from infgen_tpu.model.occ_decoder import occ_decoder_loss
+            pred = self.model.apply({"params": params}, inputs,
+                                    scenario.map.position,
+                                    scenario.map.orientation, rng_fwd)
+            return occ_decoder_loss(pred)
         pred = self.model.apply(
             {"params": params}, inputs, scenario.map, self.motion_tok.vocab,
             self.map_vocab["traj_src"], rng_fwd, deterministic=deterministic,
