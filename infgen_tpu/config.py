@@ -134,6 +134,7 @@ class Config:
     num_token_steps: int = 18  # T for training (91 // SHIFT)
 
     # --- TPU-specific: parallelism / precision ---
+    use_pallas_attention: bool = False  # fused kernel on eligible eval paths
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

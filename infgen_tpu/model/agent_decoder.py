@@ -82,7 +82,8 @@ class AgentDecoder(nn.Module):
 
         mk = lambda bip, pos, name, n: [
             DenseAttention(D, cfg.num_heads, cfg.head_dim, cfg.dropout,
-                           bipartite=bip, has_pos_emb=pos, name=f"{name}_{i}")
+                           bipartite=bip, has_pos_emb=pos, name=f"{name}_{i}",
+                           use_pallas=cfg.use_pallas_attention)
             for i in range(n)
         ]
         self.t_attn_layers = mk(False, True, "t_attn", cfg.num_agent_layers)

@@ -110,6 +110,7 @@ class DenseAttention(nn.Module):
     dropout: float = 0.0
     bipartite: bool = False
     has_pos_emb: bool = True
+    use_pallas: bool = False  # fused kernel for eligible dense-square calls
 
     @nn.compact
     def __call__(self, x_dst, x_src=None, r=None, mask=None, deterministic=True):
@@ -133,41 +134,62 @@ class DenseAttention(nn.Module):
         k = k.reshape(*k.shape[:-1], H, Hd)
         v = v.reshape(*v.shape[:-1], H, Hd)
 
-        # scores: q . (k + k_r). r may be per-pair [..., Q, K, D] or
-        # query-independent [..., K, D] (same geometry for every query, e.g.
-        # seeds that all sit on the ego position).
-        sim = jnp.einsum("...qhd,...khd->...qkh", q, k)
         r_per_pair = r is not None and r.ndim == x_src.ndim + 1
-        if self.has_pos_emb and r is not None:
+
+        # fused Pallas path: dense square attention [B, Q, D] x [B, K, D]
+        # with per-pair r and a mask, no dropout active (the kernel has no
+        # VJP, so gradient-taking callers keep the XLA path)
+        pallas_ok = (self.use_pallas and self.has_pos_emb and r_per_pair
+                     and mask is not None and x_dst.ndim == 3
+                     and (deterministic or self.dropout == 0.0))
+        if self.has_pos_emb:
+            # raw r-projection params shared by both paths
+            w_kr = self.param("w_kr", XAVIER, (D, H * Hd))
+            w_vr = self.param("w_vr", XAVIER, (D, H * Hd))
+            b_vr = self.param("b_vr", nn.initializers.zeros, (H * Hd,))
+
+        if pallas_ok:
+            from infgen_tpu.ops.pallas_attention import r_biased_attention
+
             r_n = nn.LayerNorm(name="prenorm_r")(r)
-            k_r = _dense(H * Hd, use_bias=False, name="to_k_r")(r_n)
-            v_r = _dense(H * Hd, name="to_v_r")(r_n)
-            k_r = k_r.reshape(*k_r.shape[:-1], H, Hd)
-            v_r = v_r.reshape(*v_r.shape[:-1], H, Hd)
-            if r_per_pair:
-                sim = sim + jnp.einsum("...qhd,...qkhd->...qkh", q, k_r)
-            else:
-                sim = sim + jnp.einsum("...qhd,...khd->...qkh", q, k_r)
-        sim = sim * (Hd ** -0.5)
+            q2 = q.reshape(*q.shape[:-2], H * Hd)
+            k2 = k.reshape(*k.shape[:-2], H * Hd)
+            v2 = v.reshape(*v.shape[:-2], H * Hd) + b_vr
+            agg = r_biased_attention(q2, k2, v2, r_n, w_kr, w_vr, mask, H)
+        else:
+            # scores: q . (k + k_r). r may be per-pair [..., Q, K, D] or
+            # query-independent [..., K, D] (same geometry for every query,
+            # e.g. seeds that all sit on the ego position).
+            sim = jnp.einsum("...qhd,...khd->...qkh", q, k)
+            if self.has_pos_emb and r is not None:
+                r_n = nn.LayerNorm(name="prenorm_r")(r)
+                k_r = (r_n @ w_kr).reshape(*r_n.shape[:-1], H, Hd)
+                v_r = (r_n @ w_vr + b_vr).reshape(*r_n.shape[:-1], H, Hd)
+                if r_per_pair:
+                    sim = sim + jnp.einsum("...qhd,...qkhd->...qkh", q, k_r)
+                else:
+                    sim = sim + jnp.einsum("...qhd,...khd->...qkh", q, k_r)
+            sim = sim * (Hd ** -0.5)
 
-        if mask is not None:
-            sim = jnp.where(mask[..., None], sim, -jnp.inf)
-        attn = nn.softmax(sim, axis=-2)
-        if mask is not None:
-            # fully-masked queries: softmax of -inf rows is NaN -> zero out
-            any_valid = mask.any(axis=-1)
-            attn = jnp.where(any_valid[..., None, None], attn, 0.0)
-            attn = jnp.where(mask[..., None], attn, 0.0)
-        if self.dropout > 0.0 and not deterministic:
-            attn = nn.Dropout(self.dropout, deterministic=False, name="attn_drop")(attn)
+            if mask is not None:
+                sim = jnp.where(mask[..., None], sim, -jnp.inf)
+            attn = nn.softmax(sim, axis=-2)
+            if mask is not None:
+                # fully-masked queries: softmax of -inf rows is NaN -> zero
+                any_valid = mask.any(axis=-1)
+                attn = jnp.where(any_valid[..., None, None], attn, 0.0)
+                attn = jnp.where(mask[..., None], attn, 0.0)
+            if self.dropout > 0.0 and not deterministic:
+                attn = nn.Dropout(self.dropout, deterministic=False,
+                                  name="attn_drop")(attn)
 
-        agg = jnp.einsum("...qkh,...khd->...qhd", attn, v)
-        if self.has_pos_emb and r is not None:
-            if r_per_pair:
-                agg = agg + jnp.einsum("...qkh,...qkhd->...qhd", attn, v_r)
-            else:
-                agg = agg + jnp.einsum("...qkh,...khd->...qhd", attn, v_r)
-        agg = agg.reshape(*agg.shape[:-2], H * Hd)
+            agg = jnp.einsum("...qkh,...khd->...qhd", attn, v)
+            if self.has_pos_emb and r is not None:
+                if r_per_pair:
+                    agg = agg + jnp.einsum("...qkh,...qkhd->...qhd", attn, v_r)
+                else:
+                    agg = agg + jnp.einsum("...qkh,...khd->...qhd", attn, v_r)
+            agg = agg.reshape(*agg.shape[:-2], H * Hd)
 
         # gated update (layers.py:94-99)
         g = nn.sigmoid(_dense(H * Hd, name="to_g")(jnp.concatenate([agg, dst_n], axis=-1)))

@@ -10,7 +10,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from infgen_tpu.config import Config
+from infgen_tpu.config import Config, ENTER_STATE as ENTER_STATE_
 from infgen_tpu.train.targets import roll_targets, seed_targets, token_state_eval_masks
 
 
@@ -71,6 +71,16 @@ def compute_losses(cfg: Config, grid_size: int, pred: Dict, inputs
                          label_smoothing=0.1) * lw.token_cls_loss
         logs["token_cls_loss"] = loss
         total += loss
+
+        # stepwise breakdown s0..s9 after agent entry (model/infgen.py:344-355)
+        A, T = tok.state_idx.shape
+        is_bos = tok.state_idx == ENTER_STATE_
+        bos = jnp.where(is_bos.any(1), jnp.argmax(is_bos, 1), T)
+        t_idx = jnp.arange(T)[None]
+        for i in range(10):
+            at_i = (t_idx == (bos + 1 + i)[:, None]) & (t_idx < T - 1)
+            logs[f"s{i}"] = masked_ce(pred["next_token_logits"], next_token_gt,
+                                      m & at_i, label_smoothing=0.1)
 
     if cfg.predict_state:
         loss = masked_ce(pred["next_state_logits"], next_state_gt, state_mask,

@@ -31,8 +31,9 @@ def _edge_list_oracle(params, x_dst, x_src, r, mask):
     k = (src_n @ g("to_k", "kernel")).reshape(-1, H, Hd)
     v = (src_n @ g("to_v", "kernel") + g("to_v", "bias")).reshape(-1, H, Hd)
     r_n = ln(r, "prenorm_r")
-    k_r = (r_n @ g("to_k_r", "kernel")).reshape(*r.shape[:-1], H, Hd)
-    v_r = (r_n @ g("to_v_r", "kernel") + g("to_v_r", "bias")).reshape(*r.shape[:-1], H, Hd)
+    k_r = (r_n @ np.asarray(params["w_kr"])).reshape(*r.shape[:-1], H, Hd)
+    v_r = (r_n @ np.asarray(params["w_vr"]) + np.asarray(params["b_vr"])
+           ).reshape(*r.shape[:-1], H, Hd)
 
     Q, K = mask.shape
     agg = np.zeros((Q, H, Hd))
