@@ -6,9 +6,11 @@ Prints ONE JSON line:
    "vs_baseline": N}
 
 Workload: the flagship long-term config (hidden 128, 6 agent layers, 2048
-motion vocab, agent insertion enabled), one 30 s closed-loop WOMD-scale
-rollout (300 future 10 Hz steps = 60 token steps), 128 padded agent slots —
-matching configs/ours_long_term.yaml:74 and BASELINE.md.
+motion vocab, agent insertion enabled), 8 vmapped 30 s closed-loop WOMD-scale
+rollouts (300 future 10 Hz steps = 60 token steps each), 128 padded agent
+slots — matching configs/ours_long_term.yaml:74 and BASELINE.md. Throughput
+is mildly data-dependent: the insertion while_loop exits early once the seed
+head stops proposing agents.
 
 Baseline: the reference publishes no numbers (BASELINE.md). We use an
 estimated reference GPU throughput of 1,280 agent-steps/s: the reference
@@ -51,28 +53,38 @@ def main():
                          cfg.angle_interval)
     mt = MotionTokenizer()
     map_vocab = load_map_vocab()
-    scenario = make_synthetic_scenario(cfg, seed=0, num_agents=64)
-    inputs = jax.jit(lambda s, r: build_model_inputs(cfg, mt, attr, s, r))(
-        scenario, jax.random.PRNGKey(0))
+
+    # batched rollout: the reference cannot batch inference (bs=1 only,
+    # agent_decoder.py:1647); we vmap B scenarios on one chip.
+    B = 8
+    from infgen_tpu.train.train_step import stack_scenarios
+    scens = [make_synthetic_scenario(cfg, seed=s, num_agents=64)
+             for s in range(B)]
+    batch = stack_scenarios(scens)
+    rngs = jax.random.split(jax.random.PRNGKey(0), B)
+    build = jax.jit(jax.vmap(lambda s, r: build_model_inputs(cfg, mt, attr, s, r)))
+    inputs = jax.block_until_ready(build(batch, rngs))
 
     model = InfGenModel(cfg, attr.grid, attr.grid_size, attr.angle_size)
+    one_in = jax.tree.map(lambda x: x[0], inputs)
+    one_sc = jax.tree.map(lambda x: x[0], batch)
     variables = jax.jit(model.init, static_argnames=("deterministic",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        one_in, one_sc.map, mt.vocab, map_vocab["traj_src"],
         jax.random.PRNGKey(2), deterministic=True)
     params = variables["params"]
 
-    rollout = make_rollout_fn(model, cfg, attr, mt, map_vocab, jit=True)
+    rollout = make_rollout_fn(model, cfg, attr, mt, map_vocab, jit=False)
+    batched = jax.jit(jax.vmap(lambda s, i, r: rollout(params, s, i, r)))
 
     # compile
-    out = jax.block_until_ready(
-        rollout(params, scenario, inputs, jax.random.PRNGKey(7)))
+    out = jax.block_until_ready(batched(batch, inputs, rngs))
 
     n_rep = 3
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = jax.block_until_ready(
-            rollout(params, scenario, inputs, jax.random.PRNGKey(10 + i)))
+            batched(batch, inputs, jax.random.split(jax.random.PRNGKey(10 + i), B)))
     dt = (time.perf_counter() - t0) / n_rep
 
     n_agents = int(np.asarray(out["slot_active"]).sum())

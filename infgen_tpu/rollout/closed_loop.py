@@ -356,8 +356,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
         seed_vec = _seed_vector(params, tables)
 
-        def iter_body(p, loop):
-            carry, stop, n_new, probs = loop
+        def iter_body(loop):
+            carry, stop, n_new, probs, p = loop
             rng, r1, r2 = jax.random.split(carry.rng, 3)
             carry = carry._replace(rng=rng)
 
@@ -408,25 +408,27 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             stop_now = stop | ~want_enter | ~has_free
             do_insert = ~stop_now & ~occupied
 
-            carry = jax.lax.cond(
-                do_insert,
-                lambda cr: _do_insert(params, cr, c, slot, next_pos, g_idx,
-                                      type_idx, shape_pred, ego_pos, ego_head,
-                                      x_pt, pt_pos, pt_orient, pt_mask,
-                                      tables, av),
-                lambda cr: cr,
-                carry)
+            # masked row writes instead of lax.cond: under a vmapped
+            # (batched) rollout, cond becomes a select over the ENTIRE
+            # ~50MB carry per iteration — catastrophic HBM traffic
+            carry = _do_insert(params, carry, c, slot, do_insert, next_pos,
+                               g_idx, type_idx, shape_pred, ego_pos, ego_head,
+                               x_pt, pt_pos, pt_orient, pt_mask, tables, av)
             # reference records the enter prob at index num_new_agents after a
             # successful insert (agent_decoder.py:2105)
             probs = probs.at[n_new + 1].set(
                 jnp.where(do_insert, enter_prob, probs[n_new + 1]))
             n_new = n_new + do_insert.astype(jnp.int32)
-            return carry, stop_now, n_new, probs
+            return carry, stop_now, n_new, probs, p + 1
 
+        # while_loop (not fori): exits as soon as the seed head says stop.
+        # Under a vmapped rollout JAX keeps iterating until every batch
+        # element has stopped, with per-element effects already masked.
         probs0 = jnp.zeros((cfg.insert_limit + 1,))
-        carry, _, n_new, probs = jax.lax.fori_loop(
-            0, cfg.insert_limit, iter_body,
-            (carry, jnp.bool_(False), jnp.int32(0), probs0))
+        carry, _, n_new, probs, _ = jax.lax.while_loop(
+            lambda loop: (loop[4] < cfg.insert_limit) & ~loop[1],
+            iter_body,
+            (carry, jnp.bool_(False), jnp.int32(0), probs0, jnp.int32(0)))
         carry = carry._replace(n_inserted=carry.n_inserted + n_new)
         return carry, n_new, probs
 
@@ -447,13 +449,22 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 tables["grid_table"][G // 2][None])[0]
         return model.apply({"params": params}, method=fn)
 
-    def _do_insert(params, carry, c, slot, next_pos, g_idx, type_idx,
-                   shape_pred, ego_pos, ego_head, x_pt, pt_pos, pt_orient,
-                   pt_mask, tables, av):
+    def _do_insert(params, carry, c, slot, do_insert, next_pos, g_idx,
+                   type_idx, shape_pred, ego_pos, ego_head, x_pt, pt_pos,
+                   pt_orient, pt_mask, tables, av):
+        """Slot activation with every write masked by `do_insert` (no cond)."""
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         Ti_ = carry.pos.shape[1]
         colr = jnp.arange(Ti_)
+
+        def row_set(arr, new_row):
+            cur = arr[slot]
+            return arr.at[slot].set(jnp.where(
+                jnp.reshape(do_insert, (1,) * cur.ndim), new_row, cur))
+
+        def scal_set(arr, new_val):
+            return arr.at[slot].set(jnp.where(do_insert, new_val, arr[slot]))
 
         # row templates (agent_decoder.py:1930-1958)
         row_pos = jnp.where((colr == c)[:, None], next_pos[None], 0.0)
@@ -478,26 +489,27 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         row_type_emb, row_shape_emb = model.apply({"params": params}, method=cats)
 
         carry = carry._replace(
-            pos=carry.pos.at[slot].set(row_pos),
-            head=carry.head.at[slot].set(row_head),
-            state=carry.state.at[slot].set(row_state),
-            token=carry.token.at[slot].set(row_token),
-            grid=carry.grid.at[slot].set(row_grid),
-            valid=carry.valid.at[slot].set(row_valid),
-            interact=carry.interact.at[slot].set(row_interact),
-            temporal=carry.temporal.at[slot].set(row_temporal),
-            slot_active=carry.slot_active.at[slot].set(True),
-            type_=carry.type_.at[slot].set(type_idx),
-            shape=carry.shape.at[slot].set(shape_pred),
-            token_emb=carry.token_emb.at[slot].set(row_token_emb),
-            type_emb=carry.type_emb.at[slot].set(row_type_emb),
-            shape_emb=carry.shape_emb.at[slot].set(row_shape_emb),
+            pos=row_set(carry.pos, row_pos),
+            head=row_set(carry.head, row_head),
+            state=row_set(carry.state, row_state),
+            token=row_set(carry.token, row_token),
+            grid=row_set(carry.grid, row_grid),
+            valid=row_set(carry.valid, row_valid),
+            interact=row_set(carry.interact, row_interact),
+            temporal=row_set(carry.temporal, row_temporal),
+            slot_active=scal_set(carry.slot_active, True),
+            type_=scal_set(carry.type_, type_idx),
+            shape=row_set(carry.shape, shape_pred),
+            token_emb=row_set(carry.token_emb, row_token_emb),
+            type_emb=row_set(carry.type_emb, row_type_emb),
+            shape_emb=row_set(carry.shape_emb, row_shape_emb),
         )
 
         # pred placeholders for the elapsed segment (:1965-1968, pre-refine)
         t_step = c - 1                 # rollout step index (c = 1 + t)
         seg = jnp.clip((t_step - 1) * SHIFT, 0, R - SHIFT)
-        segmask = (jnp.arange(R) >= seg) & (jnp.arange(R) < seg + SHIFT) & (t_step > 0)
+        segmask = ((jnp.arange(R) >= seg) & (jnp.arange(R) < seg + SHIFT)
+                   & (t_step > 0) & do_insert)
         carry = carry._replace(
             pred_traj=carry.pred_traj.at[slot].set(
                 jnp.where(segmask[:, None], next_pos[None], carry.pred_traj[slot])),
@@ -551,16 +563,17 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             new_head = heads["head_theta"] * jnp.pi + ego_head
         new_pos = next_pos + (heads["offset_xy"] if cfg.use_grid_token else 0.0)
 
+        colmask = (colr == c) & do_insert
         pos2 = carry.pos.at[slot].set(
-            jnp.where((colr == c)[:, None], new_pos[None], carry.pos[slot]))
+            jnp.where(colmask[:, None], new_pos[None], carry.pos[slot]))
         head2 = carry.head.at[slot].set(
-            jnp.where(colr == c, new_head, carry.head[slot]))
+            jnp.where(colmask, new_head, carry.head[slot]))
         carry = carry._replace(pos=pos2, head=head2)
 
         # final row feature with refined pose (:2085-2096)
         row_feat = _row_feat(params, tables, carry, slot, type_idx, shape_pred,
                              c + 2)
-        carry = carry._replace(raw_feat=carry.raw_feat.at[slot].set(row_feat))
+        carry = carry._replace(raw_feat=row_set(carry.raw_feat, row_feat))
         return carry
 
     def _decode_heading(idx):
