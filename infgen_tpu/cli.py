@@ -15,7 +15,10 @@ import sys
 
 def main(argv=None):
     p = argparse.ArgumentParser("infgen_tpu")
-    p.add_argument("mode", choices=["train", "validate", "rollout"])
+    p.add_argument("mode", choices=["train", "validate", "rollout",
+                                    "check-inputs"])
+    p.add_argument("--open_loop", action="store_true",
+                   help="validate: open-loop losses instead of rollouts")
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic scenario generator (no WOMD data)")
@@ -53,6 +56,33 @@ def main(argv=None):
             from infgen_tpu.data.waymo import WaymoDataset
             dataset = WaymoDataset(args.data_dir, cfg, training=True)
         train(cfg, dataset, save_dir=args.save_dir, max_steps=args.max_steps)
+
+    elif args.mode == "check-inputs":
+        from infgen_tpu.train.loop import SyntheticDataset, check_inputs
+        if args.synthetic or not args.data_dir:
+            dataset = SyntheticDataset(cfg, size=args.num_scenarios)
+        else:
+            from infgen_tpu.data.waymo import WaymoDataset
+            dataset = WaymoDataset(args.data_dir, cfg, training=False)
+        check_inputs(cfg, dataset, args.num_scenarios)
+
+    elif args.mode == "validate" and (args.open_loop or cfg.val_open_loop):
+        from infgen_tpu.train.loop import SyntheticDataset, validate_open_loop
+        from infgen_tpu.train.train_step import Trainer
+        trainer = Trainer(cfg)
+        if args.synthetic or not args.data_dir:
+            dataset = SyntheticDataset(cfg, size=args.num_scenarios)
+        else:
+            from infgen_tpu.data.waymo import WaymoDataset
+            dataset = WaymoDataset(args.data_dir, cfg, training=False)
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed), dataset[0])
+        if args.ckpt_path:
+            from infgen_tpu.train.checkpoint import CheckpointManager
+            restored = CheckpointManager(args.ckpt_path).restore(
+                jax.device_get(state))
+            if restored is not None:
+                state = restored
+        validate_open_loop(trainer, state, dataset, args.num_scenarios)
 
     elif args.mode in ("validate", "rollout"):
         import numpy as np

@@ -52,9 +52,11 @@ def state_accuracy(state_idx) -> Dict[str, jnp.ndarray]:
     eos = jnp.where(has_eos, jnp.argmax(is_eos, -1), T - 1)
     t = jnp.arange(T)[None]
 
-    before = has_bos[:, None] & (t < bos[:, None])
-    after = has_eos[:, None] & (t > eos[:, None])
-    inside = (t > bos[:, None]) & (t < eos[:, None])
+    # padded / fully-invalid slots don't exist in the reference's agent set
+    exists = (state_idx != INVALID_STATE).any(-1)[:, None]
+    before = has_bos[:, None] & (t < bos[:, None]) & exists
+    after = has_eos[:, None] & (t > eos[:, None]) & exists
+    inside = (t > bos[:, None]) & (t < eos[:, None]) & exists
 
     inv_ok = ((state_idx == INVALID_STATE) & (before | after)).sum()
     inv_cnt = (before | after).sum()

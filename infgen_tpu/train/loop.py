@@ -49,6 +49,11 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
           max_steps: Optional[int] = None, log_every: int = 10,
           resume: bool = True, log_fn: Callable = print):
     """Run training; returns the final TrainState."""
+    from infgen_tpu.utils.backup import backup_source
+
+    os.makedirs(save_dir, exist_ok=True)
+    backup_source(save_dir)  # run.py:17-48 source snapshot
+
     trainer = Trainer(cfg)
     n_dev = trainer.mesh.devices.size
     batch_size = max(cfg.train_batch_size, 1) * n_dev
@@ -92,3 +97,97 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
                 return state
     ckpt.wait()
     return state
+
+
+def validate_open_loop(trainer: Trainer, state, dataset, num_scenarios: int = 8,
+                       log_fn: Callable = print):
+    """Open-loop validation: deterministic forward losses + token/state
+    accuracy (reference val_open_loop, model/infgen.py:627-686)."""
+    import jax.numpy as jnp
+
+    from infgen_tpu.data.features import build_model_inputs
+    from infgen_tpu.metrics.train_metrics import token_cls_accuracy
+    from infgen_tpu.train.targets import roll_targets, token_state_eval_masks
+
+    cfg = trainer.cfg
+
+    @jax.jit
+    def eval_one(params, scenario, rng):
+        loss, logs = trainer.loss_fn(params, scenario, rng, deterministic=True)
+        inputs = build_model_inputs(cfg, trainer.motion_tok, trainer.attr,
+                                    scenario, rng)
+        pred = trainer.model.apply(
+            {"params": params}, inputs, scenario.map, trainer.motion_tok.vocab,
+            trainer.map_vocab["traj_src"], rng, deterministic=True)
+        tok_gt, state_gt = roll_targets(inputs.tokens.token_idx,
+                                        inputs.tokens.state_idx)
+        tok_mask, state_mask = token_state_eval_masks(
+            inputs.tokens.raw_token_valid, inputs.tokens.state_idx,
+            inputs.av_index, inputs.slot_mask)
+        tok_top1 = jnp.argmax(pred["next_token_logits"], -1)[..., None]
+        st_top1 = jnp.argmax(pred["next_state_logits"], -1)[..., None]
+        acc_s, acc_n = token_cls_accuracy(tok_top1, tok_gt, tok_mask)
+        sacc_s, sacc_n = token_cls_accuracy(st_top1, state_gt, state_mask)
+        logs.update(token_acc_sum=acc_s, token_acc_count=acc_n,
+                    state_acc_sum=sacc_s, state_acc_count=sacc_n)
+        return logs
+
+    params = state.params
+    totals = {}
+    rng = jax.random.PRNGKey(cfg.seed + 99)
+    n = min(num_scenarios, len(dataset))
+    for i in range(n):
+        rng, sub = jax.random.split(rng)
+        logs = eval_one(params, dataset[i], sub)
+        for k, v in logs.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+    out = {k: v / n for k, v in totals.items() if not k.endswith(("_sum", "_count"))}
+    out["token_accuracy"] = totals.get("token_acc_sum", 0) / max(
+        totals.get("token_acc_count", 1), 1)
+    out["state_accuracy"] = totals.get("state_acc_sum", 0) / max(
+        totals.get("state_acc_count", 1), 1)
+    log_fn("open-loop val: " + " ".join(
+        f"{k}={v:.4f}" for k, v in sorted(out.items())
+        if k in ("loss", "token_cls_loss", "state_cls_loss",
+                 "token_accuracy", "state_accuracy")))
+    return out
+
+
+def check_inputs(cfg: Config, dataset, num_scenarios: int = 8,
+                 log_fn: Callable = print):
+    """Validate the tokenization pipeline itself on GT data: StateAccuracy +
+    GridOverlapRate over tokenized inputs (reference CHECK_INPUTS mode,
+    model/infgen.py:229-247)."""
+    import jax.numpy as jnp
+
+    from infgen_tpu.data.features import build_model_inputs
+    from infgen_tpu.metrics.train_metrics import grid_overlap_rate, state_accuracy
+    from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+    from infgen_tpu.tokenizers.motion_tokenizer import MotionTokenizer
+
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    mt = MotionTokenizer()
+    build = jax.jit(lambda s, r: build_model_inputs(cfg, mt, attr, s, r))
+
+    totals = dict(valid_sum=0, valid_count=0, invalid_sum=0, invalid_count=0)
+    overlap = None
+    for i in range(min(num_scenarios, len(dataset))):
+        inputs = build(dataset[i], jax.random.PRNGKey(i))
+        sa = state_accuracy(inputs.tokens.state_idx)
+        for k in totals:
+            totals[k] += int(sa[k])
+        go = grid_overlap_rate(inputs.tokens.state_idx, inputs.grid_token_idx,
+                               attr.grid_size, cfg.num_seed_feature)
+        go = {k: np.asarray(v) for k, v in go.items()}
+        overlap = go if overlap is None else {
+            k: overlap[k] + go[k] for k in go}
+
+    log_fn(f"StateAccuracy: valid={totals['valid_sum']}/{totals['valid_count']} "
+           f"invalid={totals['invalid_sum']}/{totals['invalid_count']}")
+    rate = overlap["num_overlap_t"].sum() / max(
+        overlap["num_insert_agent_t"].sum(), 1)
+    log_fn(f"GridOverlapRate: {rate:.4f} "
+           f"(overlaps={int(overlap['num_overlap_t'].sum())}, "
+           f"inserts={int(overlap['num_insert_agent_t'].sum())})")
+    return totals, overlap

@@ -4,8 +4,13 @@ tests, stubbing the heavyweight deps it pulls in at import time.
 Only used by tests; the framework itself never imports the reference.
 """
 
+import os
 import sys
 import types
+
+# the reference's generated protobuf bindings predate the installed protobuf;
+# the pure-python implementation accepts them
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 _REF = "/root/reference"
 

@@ -135,3 +135,43 @@ def test_likelihood_self_scoring(sim_features):
     assert float(metrics["linear_speed_likelihood"]) > 0.3
     long_curve = np.asarray(metrics["wosac_long/metametric"])
     assert long_curve.ndim == 1 and len(long_curve) >= 1
+
+
+def test_road_edge_distance_matches_reference():
+    from types import SimpleNamespace
+
+    from infgen_tpu.metrics import map_distance as MD
+    from infgen.metrics import map_features as ref_map
+
+    rng = np.random.default_rng(7)
+    # two road edges: straight line and a closed loop (cyclic)
+    line = np.stack([np.linspace(0, 50, 26), np.full(26, 8.0), np.zeros(26)], -1)
+    ang = np.linspace(0, 2 * np.pi, 33)
+    loop = np.stack([30 + 20 * np.cos(ang), -10 + 20 * np.sin(ang),
+                     np.zeros(33)], -1)
+    polys_np = [line, loop]
+
+    Aq, Tq = 4, 6
+    xy = rng.uniform(0, 50, (Aq, Tq, 2)).astype(np.float32)
+    heading = rng.uniform(-np.pi, np.pi, (Aq, Tq)).astype(np.float32)
+    length = rng.uniform(2, 5, Aq).astype(np.float32)
+    width = rng.uniform(1, 2, Aq).astype(np.float32)
+    valid = np.ones((Aq, Tq), bool)
+
+    packed, cyclic = MD.pack_polylines(polys_np)
+    ours = MD.compute_distance_to_road_edge(
+        xy[..., 0], xy[..., 1], length, width, heading, valid,
+        np.ones(Aq, bool), packed, cyclic)
+
+    ref_polys = [[SimpleNamespace(x=float(p[0]), y=float(p[1]), z=float(p[2]))
+                  for p in poly] for poly in polys_np]
+    ref = ref_map.compute_distance_to_road_edge(
+        center_x=torch.tensor(xy[..., 0]), center_y=torch.tensor(xy[..., 1]),
+        center_z=torch.zeros(Aq, Tq),
+        length=torch.tensor(length)[:, None].expand(Aq, Tq).contiguous(),
+        width=torch.tensor(width)[:, None].expand(Aq, Tq).contiguous(),
+        height=torch.ones(Aq, Tq), heading=torch.tensor(heading),
+        valid=torch.ones(Aq, Tq).bool(),
+        evaluated_object_mask=torch.ones(Aq).bool(),
+        road_edge_polylines=ref_polys)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-3)
