@@ -19,15 +19,26 @@ from infgen_tpu.tokenizers.vocab import load_map_vocab
 
 
 def interpolate_polyline(points: np.ndarray, headings: np.ndarray,
-                         distance: float = 0.5, split_distance: float = 5.0
-                         ) -> Optional[np.ndarray]:
+                         distance: float = 0.5, split_distance: float = 5.0,
+                         use_native: bool = True) -> Optional[np.ndarray]:
     """Resample a polyline at `distance` m and split into 5 m 3-point segments.
 
     Returns [n_seg, 3, 3] (x, y, theta) or None. Mirrors
     interplating_polyline (preprocess.py:58-139): break the polyline where
     heading jumps or gaps occur, upsample each piece with linear interp,
     window into (split/distance+1)-point chunks, and keep every 5th point.
+
+    Dispatches to the C++ kernel (native/womd_native.cc) when built.
     """
+    if use_native:
+        try:
+            from infgen_tpu.data.native import available, interpolate_polyline_native
+            if available():
+                return interpolate_polyline_native(
+                    np.asarray(points, np.float64), np.asarray(headings, np.float64),
+                    distance, split_distance)
+        except Exception:
+            pass
     points = np.asarray(points, np.float64)
     headings = np.asarray(headings, np.float64)
 

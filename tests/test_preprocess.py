@@ -135,3 +135,54 @@ def test_preprocess_to_model_inputs():
     assert bool(scen.map.mask.any())
     # lane split into ~5m pt tokens along 118m -> ~24 tokens per polyline
     assert 30 <= int(scen.map.mask.sum()) <= 64
+
+
+def test_native_polyline_matches_python():
+    from infgen_tpu.data import native
+    from infgen_tpu.tokenizers.map_tokenizer import interpolate_polyline
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib not built (no toolchain)")
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = int(rng.integers(5, 200))
+        # mix of smooth lanes and ones with breaks
+        t = np.cumsum(rng.uniform(0.5, 2.0, n))
+        pts = np.stack([t, 3 * np.sin(t * 0.1)], -1)
+        if trial % 2:
+            pts[n // 2:] += 50.0  # force a gap break
+        hd = np.arctan2(np.gradient(pts[:, 1]), np.gradient(pts[:, 0]))
+        py = interpolate_polyline(pts, hd, use_native=False)
+        nat = interpolate_polyline(pts, hd, use_native=True)
+        if py is None:
+            assert nat is None or nat.shape[0] == 0
+            continue
+        assert nat is not None and nat.shape == py.shape
+        np.testing.assert_allclose(nat, py, atol=1e-4)
+
+
+def test_native_tfrecord_index(tmp_path):
+    import struct
+
+    from infgen_tpu.data import native
+    from infgen_tpu.data.womd_proto import iter_tfrecord
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib not built")
+
+    path = tmp_path / "test.tfrecord"
+    payloads = [b"a" * 10, b"bb" * 50, b"xyz"]
+    with open(path, "wb") as f:
+        for p in payloads:
+            f.write(struct.pack("<Q", len(p)) + b"\0" * 4 + p + b"\0" * 4)
+    idx = native.tfrecord_index(str(path))
+    assert len(idx) == 3
+    with open(path, "rb") as f:
+        for (off, ln), want in zip(idx, payloads):
+            f.seek(off)
+            assert f.read(ln) == want
+    # python reader agrees
+    assert list(iter_tfrecord(str(path))) == payloads
