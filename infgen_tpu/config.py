@@ -135,6 +135,7 @@ class Config:
 
     # --- TPU-specific: parallelism / precision ---
     use_pallas_attention: bool = False  # fused kernel on eligible eval paths
+    remat_attention: bool = True  # rematerialize attention activations
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

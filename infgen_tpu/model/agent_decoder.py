@@ -80,10 +80,14 @@ class AgentDecoder(nn.Module):
         self.fusion_emb = MLPEmbedding(D)
         self._fusion_in = D * n_inputs
 
+        # rematerialize attention in backward: the r-bias projections are the
+        # largest activations and OOM the chip at batch > 1 otherwise
+        att_cls = (nn.remat(DenseAttention, static_argnums=(5,))
+                   if cfg.remat_attention else DenseAttention)
         mk = lambda bip, pos, name, n: [
-            DenseAttention(D, cfg.num_heads, cfg.head_dim, cfg.dropout,
-                           bipartite=bip, has_pos_emb=pos, name=f"{name}_{i}",
-                           use_pallas=cfg.use_pallas_attention)
+            att_cls(D, cfg.num_heads, cfg.head_dim, cfg.dropout,
+                    bipartite=bip, has_pos_emb=pos, name=f"{name}_{i}",
+                    use_pallas=cfg.use_pallas_attention)
             for i in range(n)
         ]
         self.t_attn_layers = mk(False, True, "t_attn", cfg.num_agent_layers)
@@ -211,7 +215,7 @@ class AgentDecoder(nn.Module):
         dummy = jnp.zeros((*x.shape[:-1], 1, x.shape[-1]), x.dtype)
         mask = jnp.zeros((*x.shape[:-1], 1, 1), bool)
         return layer(x[..., None, :], dummy, None, mask,
-                     deterministic=deterministic)[..., 0, :]
+                     deterministic)[..., 0, :]
 
     def run_trunk(self, feat, temporal, a2a, pl2a, x_pt, deterministic=True,
                   num_layers: Optional[int] = None):
@@ -228,16 +232,16 @@ class AgentDecoder(nn.Module):
 
         for i in range(n_layers):
             feat = self.t_attn_layers[i](
-                feat, None, r_t, temporal.mask, deterministic=deterministic)
+                feat, None, r_t, temporal.mask, deterministic)
             # map2agent: gathered keys per (n, t)
             keys = x_pt[pl2a.idx]                                # [N, T, k, D]
             feat = self.pt2a_attn_layers[i](
                 feat[:, :, None, :], keys, r_pl2a[:, :, None, :, :],
-                pl2a.mask[:, :, None, :], deterministic=deterministic)[:, :, 0, :]
+                pl2a.mask[:, :, None, :], deterministic)[:, :, 0, :]
             # agent2agent per step
             ft = feat.swapaxes(0, 1)                             # [T, N, D]
             ft = self.a2a_attn_layers[i](
-                ft, None, r_a2a, a2a.mask, deterministic=deterministic)
+                ft, None, r_a2a, a2a.mask, deterministic)
             feat = ft.swapaxes(0, 1)
         return feat
 
@@ -264,7 +268,7 @@ class AgentDecoder(nn.Module):
                 sd = self.occ2sa_attn_layers[i](
                     sd[:, :, None, :], occ_emb[:, :, None, :], None,
                     jnp.ones((S, sd.shape[1], 1, 1), bool),
-                    deterministic=deterministic)[:, :, 0, :]
+                    deterministic)[:, :, 0, :]
                 ag = self._zero_agg(self.occ2sa_attn_layers[i], ag, deterministic)
             # pt2sa: seeds attend in-range map tokens (shared keys)
             sd_t = sd.swapaxes(0, 1)                             # [T, S, D]
@@ -273,12 +277,12 @@ class AgentDecoder(nn.Module):
             sd_t = self.pt2sa_attn_layers[i](
                 sd_t, keys, r_pl2sa, jnp.broadcast_to(
                     pl2sa_mask[:, None, :], (T, S, pl2sa_mask.shape[1])),
-                deterministic=deterministic)
+                deterministic)
             ag = self._zero_agg(self.pt2sa_attn_layers[i], ag, deterministic)
             # a2sa: seeds attend agents (keys from the evolving agent rows)
             ag_t = ag.swapaxes(0, 1)                             # [T, A, D]
             sd_t = self.a2sa_attn_layers[i](
-                sd_t, ag_t, r_a2sa, a2sa.mask, deterministic=deterministic)
+                sd_t, ag_t, r_a2sa, a2sa.mask, deterministic)
             ag = self._zero_agg(self.a2sa_attn_layers[i], ag, deterministic)
             feat = jnp.concatenate([ag, sd_t.swapaxes(0, 1)], axis=0)
         return feat
@@ -298,11 +302,11 @@ class AgentDecoder(nn.Module):
             keys = x_pt[pl2sa.idx]
             feat = self.pt2a_attn_layers[i](
                 feat[:, :, None, :], keys, r_pl[:, :, None, :, :],
-                pl2sa.mask[:, :, None, :], deterministic=deterministic)[:, :, 0, :]
+                pl2sa.mask[:, :, None, :], deterministic)[:, :, 0, :]
             a_keys = feat[a2sa_idx, t_ix]                        # [A, T, k, D]
             feat = self.a2a_attn_layers[i](
                 feat[:, :, None, :], a_keys, r_aa[:, :, None, :, :],
-                a2sa_mask[:, :, None, :], deterministic=deterministic)[:, :, 0, :]
+                a2sa_mask[:, :, None, :], deterministic)[:, :, 0, :]
         return feat
 
     # ------------------------------------------------------------------ #
@@ -331,12 +335,12 @@ class AgentDecoder(nn.Module):
         for i in range(self.cfg.num_agent_layers):
             x = self.t_attn_layers[i](
                 x[:, None, :], key_stack[i], r_t[:, None, :, :],
-                t_mask[:, None, :], deterministic=True)[:, 0, :]
+                t_mask[:, None, :], True)[:, 0, :]
             x = self.pt2a_attn_layers[i](
                 x[:, None, :], pl_keys, r_pl[:, None, :, :],
-                pl_mask[:, None, :], deterministic=True)[:, 0, :]
+                pl_mask[:, None, :], True)[:, 0, :]
             x = self.a2a_attn_layers[i](
-                x, None, r_aa, a2a_mask, deterministic=True)
+                x, None, r_aa, a2a_mask, True)
             new_cols.append(x)
         return jnp.stack(new_cols), x
 
@@ -359,15 +363,15 @@ class AgentDecoder(nn.Module):
             if occ_emb is not None:
                 sd = self.occ2sa_attn_layers[i](
                     sd[None, :], occ_emb[None, :], None,
-                    jnp.ones((1, 1), bool), deterministic=True)[0]
+                    jnp.ones((1, 1), bool), True)[0]
                 ag = self._zero_agg(self.occ2sa_attn_layers[i], ag)
             sd = self.pt2sa_attn_layers[i](
                 sd[None, :], x_pt, r_pl, pl_keys_mask[None, :],
-                deterministic=True)[0]
+                True)[0]
             ag = self._zero_agg(self.pt2sa_attn_layers[i], ag)
             sd = self.a2sa_attn_layers[i](
                 sd[None, :], ag, r_sa, a2sa_mask[None, :],
-                deterministic=True)[0]
+                True)[0]
             ag = self._zero_agg(self.a2sa_attn_layers[i], ag)
         return sd
 
@@ -389,11 +393,11 @@ class AgentDecoder(nn.Module):
             keys = x_pt[pl_keys]
             x = self.pt2a_attn_layers[i](
                 x[:, None, :], keys, r_pl[:, None, :, :], pl_m[:, None, :],
-                deterministic=True)[:, 0, :]
+                True)[:, 0, :]
             a_keys = x[a2a_idx]
             x = self.a2a_attn_layers[i](
                 x[:, None, :], a_keys, r_aa[:, None, :, :], aa_m[:, None, :],
-                deterministic=True)[:, 0, :]
+                True)[:, 0, :]
         return x
 
     def rollout_tables(self, agent_vocab):

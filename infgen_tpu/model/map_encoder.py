@@ -69,13 +69,15 @@ class MapEncoder(nn.Module):
         r = FourierEmbedding(3, D, cfg.num_freq_bands, name="r_pt2pt_emb")(r)
 
         # gathered-neighbor attention: per query, Q=1 against its k keys
+        att_cls = (nn.remat(DenseAttention, static_argnums=(5,))
+                   if cfg.remat_attention else DenseAttention)
         for i in range(cfg.num_map_layers):
             x_src = x_pt[nbr_idx]  # [P, k, D]
-            x_pt = DenseAttention(
+            x_pt = att_cls(
                 D, cfg.num_heads, cfg.head_dim, cfg.dropout,
                 bipartite=False, has_pos_emb=True, name=f"pt2pt_{i}",
-            )(x_pt[:, None, :], x_src, r[:, None, :, :], mask=nbr_valid[:, None, :],
-              deterministic=deterministic)[:, 0, :]
+            )(x_pt[:, None, :], x_src, r[:, None, :, :], nbr_valid[:, None, :],
+              deterministic)[:, 0, :]
 
         logits = MLPLayer(D, cfg.map_token_size, name="token_predict_head")(x_pt)
 
