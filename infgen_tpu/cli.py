@@ -111,8 +111,17 @@ def main(argv=None):
                 state = restored
                 print(f"loaded checkpoint step {int(np.asarray(state.step))}")
 
-        rollout = make_rollout_fn(trainer.model, cfg, trainer.attr,
-                                  trainer.motion_tok, trainer.map_vocab)
+        n_roll = max(cfg.n_rollout_close_val, 1)
+        rollout_one = make_rollout_fn(trainer.model, cfg, trainer.attr,
+                                      trainer.motion_tok, trainer.map_vocab,
+                                      jit=False)
+        if n_roll > 1:
+            # the reference stacks n_rollout rollouts per scenario
+            # (model/infgen.py:791-835); we vmap over rng
+            rollout = jax.jit(lambda p, s, i, r: jax.vmap(
+                lambda rr: rollout_one(p, s, i, rr))(jax.random.split(r, n_roll)))
+        else:
+            rollout = jax.jit(rollout_one)
         build = jax.jit(lambda s, r: build_model_inputs(
             cfg, trainer.motion_tok, trainer.attr, s, r))
 
@@ -129,6 +138,11 @@ def main(argv=None):
                 continue
             inputs = build(scen, r1)
             out = rollout(state.params, scen, inputs, r2)
+            if n_roll > 1:
+                outs = [jax.tree.map(lambda x: x[k], out) for k in range(n_roll)]
+                out = outs[0]
+            else:
+                outs = [out]
             if args.dump_rollouts:
                 from infgen_tpu.metrics.offline import save_rollout_dump
                 save_rollout_dump(dump_path, out)
@@ -153,13 +167,16 @@ def main(argv=None):
                 int(scen.agents.av_index), inputs.tokens.token_pos, gt_state)
             log_dist = make_log_distributions(wcfg, gt_feats)
 
-            Hs = cfg.num_historical_steps
-            sim_feats = compute_metric_features(
-                out["pred_traj"], out["pred_head"],
-                np.asarray(out["pred_valid"]), out["eval_shape"][:, 0],
-                out["eval_shape"][:, 1], out["slot_active"],
-                int(out["av_index"]),
-                out["pos_a"], out["next_state_idx"])
+            # concat features over rollouts along the agent axis like the
+            # reference (compute_metrics.py:905-917)
+            per_roll = [compute_metric_features(
+                o["pred_traj"], o["pred_head"], np.asarray(o["pred_valid"]),
+                o["eval_shape"][:, 0], o["eval_shape"][:, 1],
+                o["slot_active"], int(o["av_index"]), o["pos_a"],
+                o["next_state_idx"]) for o in outs]
+            sim_feats = jax.tree.map(
+                lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
+                *per_roll)
             m = compute_scenario_metrics(wcfg, log_dist, sim_feats)
             m = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v).tolist())
                  for k, v in m.items()}

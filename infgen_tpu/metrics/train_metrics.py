@@ -95,3 +95,43 @@ def grid_overlap_rate(state_token, grid_index, grid_size: int,
         num_total_agent_t=inrange.sum(0),
         num_exceed_seed_t=(entering.sum(0) >= seed_size).astype(jnp.int32),
     )
+
+
+def min_multi_ade(pred_k, target, valid_mask, min_criterion: str = "FDE"):
+    """minADE over K guesses (utils/metrics.py:394-428 minMultiADE).
+
+    pred_k [A, K, T, 2]; target [A, T, 2]; valid_mask [A, T].
+    """
+    A, K, T, _ = pred_k.shape
+    err = jnp.linalg.norm(pred_k - target[:, None], axis=-1)      # [A, K, T]
+    if min_criterion == "FDE":
+        last = (valid_mask * jnp.arange(1, T + 1)).argmax(-1)     # [A]
+        fde = jnp.take_along_axis(err, last[:, None, None], 2)[..., 0]
+        best = fde.argmin(-1)                                     # [A]
+        err_best = jnp.take_along_axis(err, best[:, None, None], 1)[:, 0]
+        ade = (err_best * valid_mask).sum(-1) / jnp.maximum(valid_mask.sum(-1), 1)
+    else:
+        ade_k = (err * valid_mask[:, None]).sum(-1) / jnp.maximum(
+            valid_mask.sum(-1), 1)[:, None]
+        ade = ade_k.min(-1)
+    has = valid_mask.any(-1)
+    return (ade * has).sum(), has.sum()
+
+
+def min_multi_fde(pred_k, target, valid_mask):
+    """minFDE over K guesses (utils/metrics.py:340-365 minMultiFDE)."""
+    A, K, T, _ = pred_k.shape
+    last = (valid_mask * jnp.arange(1, T + 1)).argmax(-1)
+    pred_last = jnp.take_along_axis(pred_k, last[:, None, None, None], 2)[:, :, 0]
+    tgt_last = jnp.take_along_axis(target, last[:, None, None], 1)[:, 0]
+    fde = jnp.linalg.norm(pred_last - tgt_last[:, None], axis=-1).min(-1)
+    has = valid_mask.any(-1)
+    return (fde * has).sum(), has.sum()
+
+
+def num_insert_accuracy(pred_state, gt_state):
+    """Per-step inserted-agent-count agreement (utils/metrics.py:618-692
+    NumInsertAccuracy): |#enter_pred - #enter_gt| summed over steps."""
+    pe = (pred_state == ENTER_STATE).sum(0)
+    ge = (gt_state == ENTER_STATE).sum(0)
+    return jnp.abs(pe - ge).sum(), jnp.maximum(ge.sum(), 1)
