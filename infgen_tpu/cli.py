@@ -10,7 +10,6 @@ the JAX train loop or the closed-loop rollout + WOSAC scoring.
 import argparse
 import json
 import os
-import sys
 
 
 def main(argv=None):

@@ -6,7 +6,6 @@ sample_pt_pred -> _fetch_enterings. Everything here is vectorized jnp and
 jit-safe; it runs on device as the first stage of the train step.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -12,9 +12,8 @@ All functions take padded [A, T] arrays plus an active-slot mask.
 """
 
 import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from infgen_tpu.config import ENTER_STATE, EXIT_STATE, SHIFT

@@ -10,7 +10,7 @@ Polylines are packed as a fixed-shape tensor [n_poly, max_len, 4] (xyz +
 validity), built host-side by `pack_polylines`.
 """
 
-from typing import List, Optional
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np

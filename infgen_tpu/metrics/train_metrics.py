@@ -6,7 +6,7 @@ StateAccuracy:485, GridOverlapRate:562) as stateless jnp functions returning
 plain addition — the torchmetrics dist_reduce_fx='sum' equivalent.
 """
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -9,8 +9,6 @@ fixed-k nearest-neighbor table (k=32; at 5 m token spacing a 10 m disc holds
 far fewer than 32 tokens, so this is a superset of the reference's edges).
 """
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

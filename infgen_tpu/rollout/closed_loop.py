@@ -16,7 +16,6 @@ Column convention (num_historical_steps=11, SHIFT=5): token columns 0..1 hold
 history; rollout step t has "current" column c = 1 + t and writes c + 1.
 """
 
-from functools import partial
 from typing import Any, Dict, NamedTuple
 
 import jax

@@ -14,7 +14,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from infgen_tpu.utils.geometry import angle_between_2d_vectors, rot_mat_2d, wrap_angle
+from infgen_tpu.utils.geometry import rot_mat_2d, wrap_angle
 
 
 class AttrTokenizer:

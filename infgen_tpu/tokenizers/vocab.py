@@ -10,7 +10,6 @@ pickles: infgen/tokens/agent_vocab_555_s2.pkl, map_traj_token5.pkl).
 import os
 from typing import Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 _TOKENS_DIR = os.path.join(os.path.dirname(__file__), "..", "tokens")

@@ -8,7 +8,7 @@ from typing import Dict
 
 import jax.numpy as jnp
 
-from infgen_tpu.config import ENTER_STATE, EXIT_STATE, INVALID_STATE, VALID_STATE
+from infgen_tpu.config import ENTER_STATE, EXIT_STATE
 
 
 def roll_targets(token_idx, state_idx):

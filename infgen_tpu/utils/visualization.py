@@ -8,8 +8,6 @@ plotting never kills a training/eval job.
 
 import functools
 import os
-from typing import List, Optional
-
 import numpy as np
 
 AGENT_COLORS = {0: "#4477AA", 1: "#EE6677", 2: "#228833", 3: "#BBBBBB"}
