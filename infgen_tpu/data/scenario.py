@@ -74,28 +74,31 @@ def build_scenario(agent_arrays: dict, map_arrays: dict, max_agents: int,
     n_agent = agent_arrays["valid"].shape[0]
     n_pt = map_arrays["position"].shape[0]
 
+    # host-side numpy leaves: eager jnp.asarray would issue one transfer per
+    # field on remote TPU backends; jit inputs transfer on use instead
     agents = AgentData(
-        valid=jnp.asarray(pad_axis(agent_arrays["valid"], A)).astype(bool),
-        position=jnp.asarray(pad_axis(agent_arrays["position"], A), jnp.float32),
-        heading=jnp.asarray(pad_axis(agent_arrays["heading"], A), jnp.float32),
-        velocity=jnp.asarray(pad_axis(agent_arrays["velocity"], A), jnp.float32),
-        shape=jnp.asarray(pad_axis(agent_arrays["shape"], A), jnp.float32),
-        type=jnp.asarray(pad_axis(agent_arrays["type"], A), jnp.int32),
-        slot_mask=jnp.asarray(np.arange(A) < n_agent),
-        train_mask=jnp.asarray(pad_axis(agent_arrays.get(
-            "train_mask", np.ones(n_agent, bool)), A)).astype(bool),
-        av_index=jnp.asarray(agent_arrays["av_index"], jnp.int32),
+        valid=pad_axis(agent_arrays["valid"], A).astype(bool),
+        position=pad_axis(agent_arrays["position"], A).astype(np.float32),
+        heading=pad_axis(agent_arrays["heading"], A).astype(np.float32),
+        velocity=pad_axis(agent_arrays["velocity"], A).astype(np.float32),
+        shape=pad_axis(agent_arrays["shape"], A).astype(np.float32),
+        type=pad_axis(agent_arrays["type"], A).astype(np.int32),
+        slot_mask=np.arange(A) < n_agent,
+        train_mask=pad_axis(agent_arrays.get(
+            "train_mask", np.ones(n_agent, bool)), A).astype(bool),
+        av_index=np.asarray(agent_arrays["av_index"], np.int32),
     )
     maps = MapData(
-        position=jnp.asarray(pad_axis(map_arrays["position"], P), jnp.float32),
-        orientation=jnp.asarray(pad_axis(map_arrays["orientation"], P), jnp.float32),
-        token_idx=jnp.asarray(pad_axis(map_arrays["token_idx"], P), jnp.int32),
-        pt_type=jnp.asarray(pad_axis(map_arrays["pt_type"], P), jnp.int32),
-        pt_side=jnp.asarray(pad_axis(map_arrays["pt_side"], P), jnp.int32),
-        pl_type=jnp.asarray(pad_axis(map_arrays["pl_type"], P), jnp.int32),
-        light_type=jnp.asarray(pad_axis(map_arrays["light_type"], P), jnp.int32),
-        chain_id=jnp.asarray(pad_axis(map_arrays["chain_id"], P, fill=-1), jnp.int32),
-        chain_pos=jnp.asarray(pad_axis(map_arrays["chain_pos"], P, fill=-1), jnp.int32),
-        mask=jnp.asarray(np.arange(P) < n_pt),
+        position=pad_axis(map_arrays["position"], P).astype(np.float32),
+        orientation=pad_axis(map_arrays["orientation"], P).astype(np.float32),
+        token_idx=pad_axis(map_arrays["token_idx"], P).astype(np.int32),
+        pt_type=pad_axis(map_arrays["pt_type"], P).astype(np.int32),
+        pt_side=pad_axis(map_arrays["pt_side"], P).astype(np.int32),
+        pl_type=pad_axis(map_arrays["pl_type"], P).astype(np.int32),
+        light_type=pad_axis(map_arrays["light_type"], P).astype(np.int32),
+        chain_id=pad_axis(map_arrays["chain_id"], P, fill=-1).astype(np.int32),
+        chain_pos=pad_axis(map_arrays["chain_pos"], P, fill=-1).astype(np.int32),
+        mask=np.arange(P) < n_pt,
     )
-    return Scenario(agents=agents, map=maps, scenario_id=jnp.asarray(scenario_id, jnp.int32))
+    return Scenario(agents=agents, map=maps,
+                    scenario_id=np.asarray(scenario_id, np.int32))

@@ -147,5 +147,11 @@ class Trainer:
 
 
 def stack_scenarios(scenarios):
-    """Stack a list of Scenario pytrees into a leading batch axis."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *scenarios)
+    """Stack a list of Scenario pytrees into a leading batch axis.
+
+    Stacks host-side in numpy: eager jnp.stack would dispatch one transfer +
+    kernel per leaf on remote TPU backends.
+    """
+    import numpy as np
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *scenarios)
