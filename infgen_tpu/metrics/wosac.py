@@ -56,6 +56,41 @@ class WosacConfig:
                 "collision_indication", "time_to_collision", "num_placement",
                 "num_removement", "distance_placement", "distance_removement")
 
+    @classmethod
+    def from_textproto(cls, path: str) -> "WosacConfig":
+        """Parse a reference-format SimAgentMetricsConfig textproto
+        (infgen/metrics/metric_config.textproto) without protobuf."""
+        import re
+
+        text = open(path).read()
+        # strip comments
+        text = re.sub(r"#.*", "", text)
+        kwargs = {}
+        for m in re.finditer(
+                r"(\w+)\s*:\s*\{(.*?)\n\}", text, re.DOTALL):
+            name, body = m.group(1), m.group(2)
+            if name not in cls().fields() and name not in (
+                    "distance_to_road_edge", "offroad_indication"):
+                continue
+
+            def grab(key, default=None):
+                mm = re.search(rf"{key}\s*:\s*([-\d.eE]+)", body)
+                return float(mm.group(1)) if mm else default
+
+            weight = grab("metametric_weight", 0.0)
+            if "bernoulli" in body:
+                spec = HistogramSpec(-0.5, 0.5, 2,
+                                     grab("additive_smoothing_pseudocount", 0.1),
+                                     weight)
+            else:
+                spec = HistogramSpec(grab("min_val", 0.0), grab("max_val", 1.0),
+                                     int(grab("num_bins", 10)),
+                                     grab("additive_smoothing_pseudocount", 0.1),
+                                     weight)
+            if name in cls().fields():
+                kwargs[name] = spec
+        return cls(**kwargs)
+
 
 def _histogram_log_probs(spec: HistogramSpec, values, valid=None):
     """Smoothed log-prob per bin from logged feature values.

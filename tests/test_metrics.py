@@ -175,3 +175,15 @@ def test_road_edge_distance_matches_reference():
         evaluated_object_mask=torch.ones(Aq).bool(),
         road_edge_polylines=ref_polys)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-3)
+
+
+def test_wosac_config_textproto_matches_defaults():
+    import dataclasses
+
+    from infgen_tpu.metrics.wosac import WosacConfig
+
+    c = WosacConfig.from_textproto(
+        "/root/reference/infgen/metrics/metric_config.textproto")
+    d = WosacConfig()
+    for f in dataclasses.fields(WosacConfig):
+        assert getattr(c, f.name) == getattr(d, f.name), f.name
