@@ -126,6 +126,20 @@ def main(argv=None):
 
         os.makedirs(args.save_dir, exist_ok=True)
         wcfg = WosacConfig()
+        # jit the scoring: it is pure jnp and eager dispatch is costly on
+        # remote TPU backends
+        log_dist_fn = jax.jit(lambda f: make_log_distributions(wcfg, f))
+        score_fn = jax.jit(lambda ld, sf: compute_scenario_metrics(wcfg, ld, sf))
+        gt_feats_fn = jax.jit(lambda scen, inputs: compute_metric_features(
+            scen.agents.position[..., :2], scen.agents.heading,
+            scen.agents.valid, scen.agents.shape[:, 0],
+            scen.agents.shape[:, 1], scen.agents.slot_mask,
+            scen.agents.av_index, inputs.tokens.token_pos,
+            inputs.tokens.state_idx))
+        sim_feats_fn = jax.jit(lambda o: compute_metric_features(
+            o["pred_traj"], o["pred_head"], o["pred_valid"],
+            o["eval_shape"][:, 0], o["eval_shape"][:, 1], o["slot_active"],
+            o["av_index"], o["pos_a"], o["next_state_idx"]))
         rng = jax.random.PRNGKey(cfg.seed + 1)
         all_metrics = []
         for i in range(min(args.num_scenarios, len(dataset))):
@@ -157,26 +171,15 @@ def main(argv=None):
 
             # log (GT) features from the scenario itself as the reference
             # distribution for a self-contained score
-            T10 = int(scen.agents.valid.shape[1])
-            gt_state = np.asarray(inputs.tokens.state_idx)
-            gt_feats = compute_metric_features(
-                scen.agents.position[..., :2], scen.agents.heading,
-                scen.agents.valid, scen.agents.shape[:, 0],
-                scen.agents.shape[:, 1], scen.agents.slot_mask,
-                int(scen.agents.av_index), inputs.tokens.token_pos, gt_state)
-            log_dist = make_log_distributions(wcfg, gt_feats)
+            log_dist = log_dist_fn(gt_feats_fn(scen, inputs))
 
             # concat features over rollouts along the agent axis like the
             # reference (compute_metrics.py:905-917)
-            per_roll = [compute_metric_features(
-                o["pred_traj"], o["pred_head"], np.asarray(o["pred_valid"]),
-                o["eval_shape"][:, 0], o["eval_shape"][:, 1],
-                o["slot_active"], int(o["av_index"]), o["pos_a"],
-                o["next_state_idx"]) for o in outs]
+            per_roll = [sim_feats_fn(o) for o in outs]
             sim_feats = jax.tree.map(
                 lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
                 *per_roll)
-            m = compute_scenario_metrics(wcfg, log_dist, sim_feats)
+            m = score_fn(log_dist, sim_feats)
             m = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v).tolist())
                  for k, v in m.items()}
             m["scenario"] = i
