@@ -77,14 +77,21 @@ def main():
     rollout = make_rollout_fn(model, cfg, attr, mt, map_vocab, jit=False)
     batched = jax.jit(jax.vmap(lambda s, i, r: rollout(params, s, i, r)))
 
-    # compile
-    out = jax.block_until_ready(batched(batch, inputs, rngs))
+    # compile + force real completion (block_until_ready can be a no-op on
+    # remote-relay backends; pulling a scalar to host is reliable)
+    out = batched(batch, inputs, rngs)
+    float(out["pred_traj"].sum())
 
-    n_rep = 3
+    # sustained measurement: dispatch n_rep batched rollouts back-to-back
+    # (the device queue serializes them) and drain once at the end, so
+    # per-fetch relay latency is amortized out of the per-rollout number
+    n_rep = 6
     t0 = time.perf_counter()
-    for i in range(n_rep):
-        out = jax.block_until_ready(
-            batched(batch, inputs, jax.random.split(jax.random.PRNGKey(10 + i), B)))
+    outs = [batched(batch, inputs,
+                    jax.random.split(jax.random.PRNGKey(10 + i), B))
+            for i in range(n_rep)]
+    for o in outs:
+        float(o["pred_traj"].sum())
     dt = (time.perf_counter() - t0) / n_rep
 
     n_agents = int(np.asarray(out["slot_active"]).sum())

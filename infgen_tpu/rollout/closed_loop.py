@@ -525,11 +525,13 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         hv_c = jnp.stack([jnp.cos(head_c), jnp.sin(head_c)], -1)
         onehot = jnp.arange(A) == slot
 
-        row_feat = _row_feat(params, tables, carry, slot, type_idx,
-                             shape_pred, c + 2)
+        # pre-refine feature at the enter column (ego heading as dummy)
+        col_feat = _insert_col_feat(params, tables,
+                                    jax.lax.dynamic_index_in_dim(
+                                        carry.pos[slot], c, 0, False),
+                                    ego_head, g_idx, type_idx, shape_pred)
         x_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
-        x_col = x_col.at[slot].set(
-            jax.lax.dynamic_index_in_dim(row_feat, c, 0, False))
+        x_col = x_col.at[slot].set(col_feat)
 
         key_ok = inter_c & carry.slot_active & ~onehot
         idx_a, val_a = topk_neighbors(pos_c, pos_c, REFINE_A2SA_K,
@@ -569,23 +571,37 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             jnp.where(colmask, new_head, carry.head[slot]))
         carry = carry._replace(pos=pos2, head=head2)
 
-        # final row feature with refined pose (:2085-2096)
-        row_feat = _row_feat(params, tables, carry, slot, type_idx, shape_pred,
-                             c + 2)
-        carry = carry._replace(raw_feat=row_set(carry.raw_feat, row_feat))
+        # final feature with the refined pose, written at the enter column
+        # only (later columns are refreshed by each motion step; earlier
+        # columns are masked by the temporal bos clamp)
+        final_feat = _insert_col_feat(params, tables, new_pos, new_head,
+                                      g_idx, type_idx, shape_pred)
+        cur = jax.lax.dynamic_index_in_dim(carry.raw_feat[slot], c, 0, False)
+        new_row_c = jnp.where(do_insert, final_feat, cur)
+        carry = carry._replace(raw_feat=carry.raw_feat.at[slot].set(
+            jax.lax.dynamic_update_index_in_dim(carry.raw_feat[slot],
+                                                new_row_c, c, 0)))
         return carry
 
     def _decode_heading(idx):
         return (idx * cfg.angle_interval - 180.0) / 360.0 * (2 * jnp.pi)
 
-    def _row_feat(params, tables, carry, slot, type_idx, shape_pred, zero_after):
+    def _insert_col_feat(params, tables, pos_c_slot, head_c_slot, g_idx,
+                         type_idx, shape_pred):
+        """Fused feature of the inserted agent at its enter column only.
+
+        Only this column is ever read for the new row: pre-bos columns are
+        masked by the temporal bos clamp, and later columns are refreshed by
+        each motion step. Enter-column semantics: motion = MOTION_GAP, bos
+        token emb, enter state (agent_decoder.py:2085-2096).
+        """
         def fn(mdl):
             d = mdl.agent_decoder
-            return _agent_row_features(
-                d, tables, carry.pos[slot][None], carry.head[slot][None],
-                carry.state[slot][None], carry.token[slot][None],
-                carry.grid[slot][None], type_idx[None], shape_pred[None],
-                zero_after=zero_after)[0]
+            motion = jnp.full((1, 2), E.MOTION_GAP)
+            hv = jnp.stack([jnp.cos(head_c_slot), jnp.sin(head_c_slot)])[None]
+            return _fuse(d, tables, tables["bos_token"][None], motion, hv,
+                         jnp.asarray([type_idx]), shape_pred[None],
+                         jnp.asarray([ENTER_STATE]), jnp.asarray([g_idx]))[0]
         return model.apply({"params": params}, method=fn)
 
     # ---------------------------------------------------------------- #

@@ -74,11 +74,23 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
 
     step = int(np.asarray(state.step))
     t_last = time.perf_counter()
+
+    def staged_batches(epoch):
+        """Prefetch: device_put is async, so staging the next batch while the
+        current step runs hides host->device transfer (which dominates wall
+        time on remote TPU backends)."""
+        it = (trainer.shard_batch(stack_scenarios(bl))
+              for bl in dataset.iter_batches(batch_size, shuffle=True,
+                                             seed=cfg.seed + epoch))
+        prev = next(it, None)
+        while prev is not None:
+            nxt = next(it, None)
+            yield prev
+            prev = nxt
+
     for epoch in range(cfg.max_epochs):
-        for batch_list in dataset.iter_batches(batch_size, shuffle=True,
-                                               seed=cfg.seed + epoch):
+        for batch in staged_batches(epoch):
             rng, sub = jax.random.split(rng)
-            batch = trainer.shard_batch(stack_scenarios(batch_list))
             state, logs = trainer.train_step(state, batch, sub)
             step += 1
             if step % log_every == 0:

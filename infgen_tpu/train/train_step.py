@@ -117,6 +117,9 @@ class Trainer:
     # ---------------- step ----------------
 
     def make_train_step(self):
+        # NOTE: the input TrainState is DONATED — its buffers are invalidated
+        # by the call. Snapshot with jax.device_get(state) before stepping if
+        # you need the old parameters (e.g. trained-vs-untrained comparisons).
         @partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
             (loss, logs), grads = jax.value_and_grad(
