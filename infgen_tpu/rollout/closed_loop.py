@@ -651,10 +651,10 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # 3. de-tokenize: contour trajectory in world frame (:2176-2211)
         pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
         head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
-        vocab = jnp.asarray(token_traj_all)[jnp.clip(carry.type_, 0, 2)]     # [A, V, 6, 4, 2]
-        tokc = jnp.take_along_axis(
-            vocab, jnp.clip(next_token, 0)[:, None, None, None, None],
-            axis=1)[:, 0]                                       # [A, 6, 4, 2]
+        # direct (type, token) gather: materializing the per-agent vocab
+        # first would read 50MB/step from HBM
+        tokc = jnp.asarray(token_traj_all)[
+            jnp.clip(carry.type_, 0, 2), jnp.clip(next_token, 0)]  # [A, 6, 4, 2]
         rot = rot_mat_2d(head_c)
         world = jnp.einsum("asci,aij->ascj", tokc, rot) + pos_c[:, None, None, :]
 
@@ -762,9 +762,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
         # stitch history from tokens (agent_decoder.py:2311-2335)
         hist_tok = jnp.clip(inputs.tokens.token_idx[:, :H], 0)
-        vocab = jnp.asarray(token_traj_all)[jnp.clip(carry.type_, 0, 2)]
-        htraj = jnp.take_along_axis(
-            vocab, hist_tok[:, :, None, None, None], axis=1)    # [A, H, 6, 4, 2]
+        htraj = jnp.asarray(token_traj_all)[
+            jnp.clip(carry.type_, 0, 2)[:, None], hist_tok]     # [A, H, 6, 4, 2]
         init_theta = inputs.tokens.token_heading[:, 0]
         rot = rot_mat_2d(init_theta)
         htraj = jnp.einsum("ahsci,aij->ahscj", htraj, rot) + \
