@@ -7,10 +7,12 @@ raw relative-geometry features that get Fourier-embedded by the decoder.
 Convention: masks are indexed [batch..., query, key] with True = attend.
 "sentinel" handling of invalid steps follows agent_decoder.py:591-601:
   key invalid, query valid   -> rel_pos = -motion_gap, rel_head = -heading_gap
-  key valid,   query invalid -> rel_pos = +motion_gap, rel_head = +heading_gap
+  key valid,   query invalid -> rel_pos = +motion_gap, rel_head unchanged
   both invalid               -> rel_pos = invalid_motion, rel_head = invalid_head
-(The reference's `rel_head` +heading_gap branch is dead code due to a typo at
-agent_decoder.py:598; we implement the intended semantics.)
+(The reference's `rel_head = +heading_gap` branch is dead code due to a `==`
+typo at agent_decoder.py:598, so rel_head passes through raw in that case.
+We reproduce the *actual* trained behavior, not the apparent intent — proven
+equivalent by tests/test_ref_parity.py with transplanted weights.)
 """
 
 from typing import NamedTuple
@@ -57,7 +59,8 @@ def _apply_invalid_sentinels(rel_pos, rel_head, inv_key, inv_query):
     rel_pos = jnp.where((inv_key & ~inv_query)[..., None], -MOTION_GAP, rel_pos)
     rel_pos = jnp.where((~inv_key & inv_query)[..., None], MOTION_GAP, rel_pos)
     rel_head = jnp.where(inv_key & ~inv_query, -HEADING_GAP, rel_head)
-    rel_head = jnp.where(~inv_key & inv_query, HEADING_GAP, rel_head)
+    # NOTE: no rel_head rewrite for (valid key, invalid query) — the
+    # reference's assignment is dead code (`==` typo, agent_decoder.py:598)
     both = inv_key & inv_query
     rel_pos = jnp.where(both[..., None], INVALID_MOTION_VALUE, rel_pos)
     rel_head = jnp.where(both, INVALID_HEAD_VALUE, rel_head)
@@ -155,6 +158,7 @@ def build_pl2a_edges(pos, head, state, head_vector, query_mask,
     from infgen_tpu.ops.neighbors import topk_neighbors
 
     A, T, _ = pos.shape
+    k = min(k, pt_pos.shape[0])  # topk_neighbors caps k at the key count
     flat_pos = pos.reshape(A * T, 2)
     idx, valid = topk_neighbors(flat_pos, pt_pos, k, radius, key_mask=pt_mask)
     idx = idx.reshape(A, T, k)
