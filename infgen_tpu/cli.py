@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--data_dir", default=None, help="preprocessed WOMD pkl dir")
     p.add_argument("--save_dir", default="runs/default")
     p.add_argument("--ckpt_path", default=None)
+    p.add_argument("--pretrain_ckpt", default=None,
+                   help="weights-only non-strict warm start "
+                        "(reference run.py --pretrain_ckpt)")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--num_scenarios", type=int, default=8)
     p.add_argument("--devices", type=int, default=None)
@@ -54,7 +57,8 @@ def main(argv=None):
         else:
             from infgen_tpu.data.waymo import WaymoDataset
             dataset = WaymoDataset(args.data_dir, cfg, training=True)
-        train(cfg, dataset, save_dir=args.save_dir, max_steps=args.max_steps)
+        train(cfg, dataset, save_dir=args.save_dir, max_steps=args.max_steps,
+              pretrain_ckpt=args.pretrain_ckpt)
 
     elif args.mode == "check-inputs":
         from infgen_tpu.train.loop import SyntheticDataset, check_inputs
@@ -130,35 +134,141 @@ def main(argv=None):
         # remote TPU backends
         log_dist_fn = jax.jit(lambda f: make_log_distributions(wcfg, f))
         score_fn = jax.jit(lambda ld, sf: compute_scenario_metrics(wcfg, ld, sf))
-        gt_feats_fn = jax.jit(lambda scen, inputs: compute_metric_features(
+        gt_feats_fn = jax.jit(lambda scen, inputs, re, rc: compute_metric_features(
             scen.agents.position[..., :2], scen.agents.heading,
             scen.agents.valid, scen.agents.shape[:, 0],
             scen.agents.shape[:, 1], scen.agents.slot_mask,
             scen.agents.av_index, inputs.tokens.token_pos,
-            inputs.tokens.state_idx))
-        sim_feats_fn = jax.jit(lambda o: compute_metric_features(
+            inputs.tokens.state_idx, re, rc))
+        sim_feats_fn = jax.jit(lambda o, re, rc: compute_metric_features(
             o["pred_traj"], o["pred_head"], o["pred_valid"],
             o["eval_shape"][:, 0], o["eval_shape"][:, 1], o["slot_active"],
-            o["av_index"], o["pos_a"], o["next_state_idx"]))
-        rng = jax.random.PRNGKey(cfg.seed + 1)
+            o["av_index"], o["pos_a"], o["next_state_idx"], re, rc))
         all_metrics = []
-        for i in range(min(args.num_scenarios, len(dataset))):
-            scen = dataset[i]
-            rng, r1, r2 = jax.random.split(rng, 3)
-            # resume: skip scenarios already dumped (model/infgen.py:593-601)
+        # validation metric set (reference utils/metrics.py wired at
+        # model/infgen.py:194-228,763-766): minADE/minFDE vs the logged GT
+        # window, StateAccuracy, GridOverlapRate, NumInsertAccuracy
+        from infgen_tpu.metrics.train_metrics import (
+            grid_overlap_rate, min_ade, min_fde, min_multi_ade,
+            min_multi_fde, num_insert_accuracy, state_accuracy)
+
+        Hs = cfg.num_historical_steps
+        grid_size = trainer.attr.grid_size
+
+        @jax.jit
+        def val_metrics_fn(scen, inputs, out):
+            eval_mask = out["slot_active"] & scen.agents.valid[:, Hs - 1]
+            To = min(scen.agents.position.shape[1] - Hs,
+                     out["pred_traj"].shape[1] - Hs)
+            gt = scen.agents.position[:, Hs:Hs + To, :2]
+            pred = jax.lax.dynamic_slice_in_dim(out["pred_traj"], Hs, To, 1)
+            vm = scen.agents.valid[:, Hs:Hs + To] & eval_mask[:, None]
+            m = {}
+            m["min_ade"] = min_ade(pred, gt, vm)
+            m["min_fde"] = min_fde(pred, gt, vm)
+            sa = state_accuracy(out["next_state_idx"])
+            m["state_acc_valid"] = (sa["valid_sum"], sa["valid_count"])
+            m["state_acc_invalid"] = (sa["invalid_sum"], sa["invalid_count"])
+            go = grid_overlap_rate(out["next_state_idx"], out["grid_index"],
+                                   grid_size, cfg.num_seed_feature)
+            m["grid_overlap"] = (go["num_overlap_t"].sum(),
+                                 go["num_insert_agent_t"].sum())
+            Tg = min(inputs.tokens.state_idx.shape[1],
+                     out["next_state_idx"].shape[1])
+            m["num_insert_err"] = num_insert_accuracy(
+                out["next_state_idx"][:, :Tg],
+                inputs.tokens.state_idx[:, :Tg])
+            return m
+
+        @jax.jit
+        def multi_metrics_fn(scen, pred_k):
+            eval_mask = scen.agents.slot_mask & scen.agents.valid[:, Hs - 1]
+            To = min(scen.agents.position.shape[1] - Hs,
+                     pred_k.shape[2] - Hs)
+            gt = scen.agents.position[:, Hs:Hs + To, :2]
+            pk = jax.lax.dynamic_slice_in_dim(pred_k, Hs, To, 2)
+            vm = scen.agents.valid[:, Hs:Hs + To] & eval_mask[:, None]
+            return {"min_multi_ade": min_multi_ade(pk, gt, vm),
+                    "min_multi_fde": min_multi_fde(pk, gt, vm)}
+
+        val_totals = {}
+
+        def _acc(m):
+            for k, (s, n) in m.items():
+                ts, tn = val_totals.get(k, (0.0, 0.0))
+                val_totals[k] = (ts + float(s), tn + float(n))
+
+        from infgen_tpu.metrics.map_distance import packed_road_edges
+
+        # rank-sharded validation (reference: scenarios sharded across DDP
+        # ranks with per-rank rollout files, model/infgen.py:594): with
+        # --devices N, chunks of N scenarios run as ONE sharded batched
+        # rollout over a data mesh
+        n_shard = max(args.devices or 1, 1)
+        use_shard = n_shard > 1 and n_roll == 1 and len(jax.devices()) >= n_shard
+        if use_shard:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from infgen_tpu.train.train_step import stack_scenarios
+            mesh = Mesh(np.array(jax.devices()[:n_shard]), ("data",))
+            shardp = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            build_many = jax.jit(jax.vmap(lambda s, r: build_model_inputs(
+                cfg, trainer.motion_tok, trainer.attr, s, r)))
+            rollout_many = jax.jit(
+                jax.vmap(rollout_one, in_axes=(None, 0, 0, 0)),
+                in_shardings=(repl, shardp, shardp, shardp))
+
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        def scenario_stream():
+            """Yield (i, scen, inputs, outs) per scenario."""
+            idxs = list(range(min(args.num_scenarios, len(dataset))))
+            if not use_shard:
+                for i in idxs:
+                    # resume: skip scenarios already dumped
+                    # (model/infgen.py:593-601)
+                    if args.dump_rollouts and os.path.exists(os.path.join(
+                            args.save_dir, f"rollout_{i:06d}.npz")):
+                        continue
+                    scen = dataset[i]
+                    r1 = jax.random.fold_in(base_rng, 2 * i)
+                    r2 = jax.random.fold_in(base_rng, 2 * i + 1)
+                    inputs = build(scen, r1)
+                    out = rollout(state.params, scen, inputs, r2)
+                    if n_roll > 1:
+                        yield i, scen, inputs, [
+                            jax.tree.map(lambda x, k=k: x[k], out)
+                            for k in range(n_roll)]
+                    else:
+                        yield i, scen, inputs, [out]
+                return
+            params_r = jax.device_put(jax.device_get(state.params), repl)
+            for c0 in range(0, len(idxs), n_shard):
+                chunk = idxs[c0:c0 + n_shard]
+                pad = chunk + [chunk[-1]] * (n_shard - len(chunk))
+                scens = [dataset[i] for i in pad]
+                batch = stack_scenarios(scens)
+                pj = np.asarray(pad)
+                r1 = jax.vmap(lambda i: jax.random.fold_in(base_rng, 2 * i))(pj)
+                r2 = jax.vmap(lambda i: jax.random.fold_in(base_rng, 2 * i + 1))(pj)
+                inputs_b = build_many(batch, r1)
+                outs_b = rollout_many(params_r, batch, inputs_b, r2)
+                for j, i in enumerate(chunk):
+                    yield (i, scens[j],
+                           jax.tree.map(lambda x, j=j: x[j], inputs_b),
+                           [jax.tree.map(lambda x, j=j: x[j], outs_b)])
+
+        for i, scen, inputs, outs in scenario_stream():
+            out = outs[0]
             dump_path = os.path.join(args.save_dir, f"rollout_{i:06d}.npz")
-            if args.dump_rollouts and os.path.exists(dump_path):
-                continue
-            inputs = build(scen, r1)
-            out = rollout(state.params, scen, inputs, r2)
-            if n_roll > 1:
-                outs = [jax.tree.map(lambda x: x[k], out) for k in range(n_roll)]
-                out = outs[0]
-            else:
-                outs = [out]
-            if args.dump_rollouts:
+            road_edges, road_cyclic = packed_road_edges(scen.map)
+            # resume semantics: don't overwrite existing dumps
+            # (model/infgen.py:593-601)
+            if args.dump_rollouts and not os.path.exists(dump_path):
                 from infgen_tpu.metrics.offline import save_rollout_dump
-                save_rollout_dump(dump_path, out)
+                save_rollout_dump(dump_path, out, road_edges=road_edges,
+                                  road_cyclic=road_cyclic)
             if args.plot_rollouts:
                 from infgen_tpu.utils.visualization import plot_scenario_rollout
                 plot_scenario_rollout(
@@ -171,11 +281,12 @@ def main(argv=None):
 
             # log (GT) features from the scenario itself as the reference
             # distribution for a self-contained score
-            log_dist = log_dist_fn(gt_feats_fn(scen, inputs))
+            log_dist = log_dist_fn(gt_feats_fn(scen, inputs, road_edges,
+                                               road_cyclic))
 
             # concat features over rollouts along the agent axis like the
             # reference (compute_metrics.py:905-917)
-            per_roll = [sim_feats_fn(o) for o in outs]
+            per_roll = [sim_feats_fn(o, road_edges, road_cyclic) for o in outs]
             sim_feats = jax.tree.map(
                 lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
                 *per_roll)
@@ -184,14 +295,24 @@ def main(argv=None):
                  for k, v in m.items()}
             m["scenario"] = i
             m["n_inserted"] = int(out["n_inserted"])
+            _acc(val_metrics_fn(scen, inputs, out))
+            if n_roll > 1:
+                pred_k = np.stack([np.asarray(o["pred_traj"]) for o in outs], 1)
+                _acc(multi_metrics_fn(scen, pred_k))
             all_metrics.append(m)
             print(f"scenario {i}: metametric={m['metametric']:.4f} "
                   f"collision_rate={m['simulated_collision_rate']:.3f} "
+                  f"offroad_rate={m['simulated_offroad_rate']:.3f} "
                   f"inserted={m['n_inserted']}")
 
+        val_summary = {k: (s / n if n > 0 else 0.0)
+                       for k, (s, n) in val_totals.items()}
         with open(os.path.join(args.save_dir, "rollout_metrics.json"), "w") as f:
-            json.dump(all_metrics, f, indent=2)
+            json.dump({"scenarios": all_metrics, "val_metrics": val_summary},
+                      f, indent=2)
         mean_meta = float(np.mean([m["metametric"] for m in all_metrics]))
+        print("val metrics: " + " ".join(
+            f"{k}={v:.4f}" for k, v in sorted(val_summary.items())))
         print(f"mean metametric over {len(all_metrics)} scenarios: {mean_meta:.4f}")
 
 

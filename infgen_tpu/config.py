@@ -136,8 +136,12 @@ class Config:
     # --- TPU-specific: parallelism / precision ---
     use_pallas_attention: bool = False  # fused kernel on eligible eval paths
     remat_attention: bool = True  # rematerialize attention activations
-    mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})
-    compute_dtype: str = "bfloat16"
+    # data-axis size for the default Trainer mesh; 0 = all local devices
+    mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 0})
+    # matmul compute dtype ("float32" | "bfloat16"); master params, LN stats,
+    # softmax, and losses stay float32 (ops/precision.py)
+    compute_dtype: str = "float32"
+    # dtype params are stored in (checkpoints / inference-only deployments)
     param_dtype: str = "float32"
     seed: int = 2025
 
@@ -146,6 +150,8 @@ class Config:
     val_raw_dir: Optional[str] = None
     train_batch_size: int = 1
     val_batch_size: int = 1
+    num_workers: int = 0  # loader worker processes (reference Dataset yaml)
+    prefetch_batches: int = 4  # device_put-staged batches ahead of the step
 
     @property
     def shift(self) -> int:

@@ -1,0 +1,101 @@
+"""Parallel batch loading with deep prefetch.
+
+The reference leans on torch DataLoader workers (scalable_dataset.py:150-275,
+`num_workers`); the TPU loop needs the same overlap because scenario building
+(unpickle + polyline split + vocab match + padding) is host-CPU work that
+otherwise serializes with device steps. Design:
+
+  worker processes (spawn)  ->  scenario pytrees  ->  host stacking  ->
+  deque of device_put-staged batches (depth `prefetch`)
+
+device_put is async, so staging N batches ahead hides host->device transfer,
+which dominates wall time on remote-relay TPU backends (CLAUDE.md).
+"""
+
+import multiprocessing as mp
+from collections import deque
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(i: int):
+    return _WORKER_DATASET[int(i)]
+
+
+class BatchLoader:
+    """Batched epoch iterator over an indexable scenario dataset.
+
+    num_workers=0 loads inline; >0 uses a spawn-context process pool (fork is
+    unsafe once jax has initialized its runtime threads). The dataset object
+    must be picklable (WaymoDataset / SyntheticDataset are).
+    """
+
+    def __init__(self, dataset, batch_size: int, num_workers: int = 0,
+                 prefetch_batches: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch_batches = max(prefetch_batches, 1)
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
+                                  initargs=(self.dataset,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def epoch(self, shuffle: bool = True, seed: int = 0) -> Iterator[list]:
+        """Yield lists of Scenario pytrees (callers stack/shard)."""
+        n = len(self.dataset)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        order = order[: (n // self.batch_size) * self.batch_size]
+        if self.num_workers > 0:
+            pool = self._ensure_pool()
+            # chunksize 1 keeps batch latency low; the pool itself is the
+            # prefetch queue (imap keeps workers busy ahead of consumption)
+            it = pool.imap(_worker_get, order, chunksize=1)
+            batch: List = []
+            for scen in it:
+                batch.append(scen)
+                if len(batch) == self.batch_size:
+                    yield batch
+                    batch = []
+        else:
+            for i in range(0, len(order), self.batch_size):
+                yield [self.dataset[j] for j in order[i:i + self.batch_size]]
+
+
+def staged(batches: Iterator, stage_fn, depth: int = 4) -> Iterator:
+    """Keep `depth` batches staged ahead through `stage_fn` (e.g. an async
+    device_put). Replaces the old 1-deep prefetch (train/loop.py) per
+    round-1 review: input wait must overlap multiple device steps."""
+    q: deque = deque()
+    it = iter(batches)
+    try:
+        while len(q) < depth:
+            q.append(stage_fn(next(it)))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        try:
+            q.append(stage_fn(next(it)))
+        except StopIteration:
+            pass
+        yield out

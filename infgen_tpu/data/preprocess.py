@@ -174,13 +174,13 @@ def decode_map(scenario: dict) -> Dict:
     )
 
 
-def scenario_to_pkl_dict(raw: bytes) -> Optional[Dict]:
+def scenario_to_pkl_dict(raw: bytes, map_tokenizer=None) -> Optional[Dict]:
     scenario = parse_scenario(raw)
     agents = decode_agents(scenario)
     if agents is None:
         return None
     m = decode_map(scenario)
-    return {
+    out = {
         "scenario_id": scenario["scenario_id"],
         "city": "waymo",
         "agent": agents,
@@ -188,12 +188,21 @@ def scenario_to_pkl_dict(raw: bytes) -> Optional[Dict]:
         "map_polygon": m["map_polygon"],
         ("map_point", "to", "map_polygon"): {"edge_index": m["edge_index"]},
     }
+    if map_tokenizer is not None:
+        # cache map tokenization offline so the train loader skips the
+        # polyline split + vocab match per access (waymo.py reads this)
+        from infgen_tpu.data.waymo import tokenize_pkl_map
+        out["map_token"] = tokenize_pkl_map(out, map_tokenizer)
+    return out
 
 
 def process_file(tfrecord_path: str, output_dir: str) -> List[Dict]:
+    from infgen_tpu.tokenizers.map_tokenizer import MapTokenizer
+
+    map_tokenizer = MapTokenizer()
     metas = []
     for raw in iter_tfrecord(tfrecord_path):
-        d = scenario_to_pkl_dict(raw)
+        d = scenario_to_pkl_dict(raw, map_tokenizer)
         if d is None:
             continue
         out = os.path.join(output_dir, f"{d['scenario_id']}.pkl")

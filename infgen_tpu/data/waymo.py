@@ -83,7 +83,23 @@ def pkl_to_scenario(data: dict, cfg: Config, map_tokenizer: MapTokenizer,
         av_index=av_idx, train_mask=train_mask,
     )
 
-    # --- map: group points by (polygon, type, side), split, match ---
+    # --- map: cached tokenization if the pkl carries it (our preprocess
+    # writes "map_token"; see tokenize_pkl_map), else tokenize on the fly
+    # like the reference's WaymoTargetBuilder (scalable_dataset.py:145)
+    if "map_token" in data:
+        map_arrays = {k: _to_numpy(v) for k, v in data["map_token"].items()}
+    else:
+        map_arrays = tokenize_pkl_map(data, map_tokenizer)
+
+    return build_scenario(agent_arrays, map_arrays, cfg.max_agents,
+                          cfg.max_map_tokens, scenario_id=scenario_id)
+
+
+def tokenize_pkl_map(data: dict, map_tokenizer: MapTokenizer) -> dict:
+    """Group pkl map points by (polygon, type), split into 5 m segments, and
+    match against the map vocab. Factored out so offline preprocessing can
+    cache the result in the pkl (round-1 review: per-access tokenization made
+    real-WOMD training input-bound)."""
     pt2pl = _to_numpy(data[("map_point", "to", "map_polygon")]["edge_index"])
     pt_pos = _to_numpy(data["map_point"]["position"])[:, :2]
     pt_orient = _to_numpy(data["map_point"]["orientation"])
@@ -112,9 +128,7 @@ def pkl_to_scenario(data: dict, cfg: Config, map_tokenizer: MapTokenizer,
         map_arrays["traj_pos"], map_arrays["traj_theta"]))
     map_arrays["position"] = map_arrays["traj_pos"][:, 0]
     map_arrays["orientation"] = map_arrays["traj_theta"]
-
-    return build_scenario(agent_arrays, map_arrays, cfg.max_agents,
-                          cfg.max_map_tokens, scenario_id=scenario_id)
+    return map_arrays
 
 
 class WaymoDataset:

@@ -249,6 +249,8 @@ class MetricFeatures(NamedTuple):
     distance_to_nearest_object: jnp.ndarray
     collision_per_step: jnp.ndarray
     time_to_collision: jnp.ndarray
+    distance_to_road_edge: jnp.ndarray  # [A, T_future]
+    offroad_per_step: jnp.ndarray       # [A, T_future] bool
     num_placement: jnp.ndarray        # [1, T_tok]
     num_removement: jnp.ndarray       # [1, T_tok]
     distance_placement: jnp.ndarray   # [A, T_tok]
@@ -256,7 +258,8 @@ class MetricFeatures(NamedTuple):
 
 
 def compute_metric_features(traj_xy, traj_heading, valid, length, width,
-                            slot_mask, av_index, token_pos, token_state
+                            slot_mask, av_index, token_pos, token_state,
+                            road_edge_polylines=None, road_edge_cyclic=None
                             ) -> MetricFeatures:
     """Features from one rollout.
 
@@ -264,6 +267,12 @@ def compute_metric_features(traj_xy, traj_heading, valid, length, width,
     valid [A, T10]; length/width [A]; token_pos [A, T_tok, 2];
     token_state [A, T_tok]. Mirrors compute_metric_features
     (compute_metrics.py:560-706), with z == 0.
+
+    road_edge_polylines [L, S, 4] + road_edge_cyclic [L] (pack_polylines
+    output) enable the map bucket (distance_to_road_edge / offroad_per_step,
+    compute_metrics.py:626-649); without them the fields are filled with
+    on-road defaults (the reference leaves them uninitialized via empty_like
+    when scenario_log is None, :626-628).
     """
     x, y = traj_xy[..., 0], traj_xy[..., 1]
     z = jnp.zeros_like(x)
@@ -278,6 +287,19 @@ def compute_metric_features(traj_xy, traj_heading, valid, length, width,
 
     ttc = compute_time_to_collision(x, y, length, width, traj_heading, valid,
                                     slot_mask)[:, cut:]
+
+    if road_edge_polylines is not None and road_edge_polylines.shape[0] > 0:
+        from infgen_tpu.metrics.map_distance import (
+            OFFROAD_DISTANCE_THRESHOLD,
+            compute_distance_to_road_edge,
+        )
+        d_road = compute_distance_to_road_edge(
+            x, y, length, width, traj_heading, valid, slot_mask,
+            road_edge_polylines, road_edge_cyclic)[:, cut:]
+        offroad = d_road > OFFROAD_DISTANCE_THRESHOLD
+    else:
+        d_road = jnp.full_like(ls, -EXTREMELY_LARGE_DISTANCE)
+        offroad = jnp.zeros_like(collision)
 
     n_place, n_remove = compute_num_placement(token_state, av_index, slot_mask)
     tok_cut = CURRENT_TIME_INDEX // SHIFT
@@ -295,6 +317,8 @@ def compute_metric_features(traj_xy, traj_heading, valid, length, width,
         distance_to_nearest_object=d_nearest,
         collision_per_step=collision,
         time_to_collision=ttc,
+        distance_to_road_edge=d_road,
+        offroad_per_step=offroad,
         num_placement=n_place[None],
         num_removement=n_remove[None],
         distance_placement=d_place,
@@ -326,6 +350,8 @@ def unfold_features(f: MetricFeatures, size: int = N_SIMULATION_STEPS,
         distance_to_nearest_object=uf(f.distance_to_nearest_object, size, step),
         collision_per_step=uf(f.collision_per_step, size, step),
         time_to_collision=uf(f.time_to_collision, size, step),
+        distance_to_road_edge=uf(f.distance_to_road_edge, size, step),
+        offroad_per_step=uf(f.offroad_per_step, size, step),
         num_placement=uf(f.num_placement, size // SHIFT, step // SHIFT),
         num_removement=uf(f.num_removement, size // SHIFT, step // SHIFT),
         distance_placement=uf(f.distance_placement, size // SHIFT, step // SHIFT),

@@ -38,6 +38,54 @@ def pack_polylines(polylines: List[np.ndarray]):
     return packed, cyclic
 
 
+def road_edge_polylines_from_map(map_data, pt_type_min: int = 14,
+                                 pt_type_max: int = 16):
+    """Reconstruct road-edge polylines from a Scenario's pt tokens (host side).
+
+    The reference reads raw road-edge polylines from the scenario proto
+    (compute_metrics.py:630-636); our fixed-shape MapData instead carries the
+    5 m pt-token chain (chain_id / chain_pos ordering, pt_type 14..16 =
+    road_edge sub-types per data/preprocess.py:30), which reconstructs the
+    same boundary at segment resolution. Returns `pack_polylines` output.
+    """
+    pt_type = np.asarray(map_data.pt_type)
+    mask = np.asarray(map_data.mask)
+    chain_id = np.asarray(map_data.chain_id)
+    chain_pos = np.asarray(map_data.chain_pos)
+    pos = np.asarray(map_data.position)
+    sel = mask & (pt_type >= pt_type_min) & (pt_type <= pt_type_max)
+    polys = []
+    for c in np.unique(chain_id[sel]):
+        idx = np.nonzero(sel & (chain_id == c))[0]
+        order = idx[np.argsort(chain_pos[idx])]
+        if len(order) >= 2:
+            polys.append(pos[order])
+    return pack_polylines(polys)
+
+
+def pad_packed_polylines(packed, cyclic, round_polys: int = 8,
+                         round_len: int = 32):
+    """Round the packed shape up to multiples to bound jit retracing when
+    feature extraction runs per scenario with varying road-edge counts."""
+    L, S, _ = packed.shape
+    Lp = max(((L + round_polys - 1) // round_polys) * round_polys, round_polys)
+    Sp = max(((S + round_len - 1) // round_len) * round_len, round_len)
+    out = np.zeros((Lp, Sp, 4), np.float32)
+    out[:L, :S] = packed
+    cyc = np.zeros(Lp, bool)
+    cyc[:L] = cyclic
+    return out, cyc
+
+
+def packed_road_edges(map_data):
+    """(packed, cyclic) road-edge tensors for `compute_metric_features`, or
+    (None, None) when the scenario has no road edges. Host side."""
+    packed, cyclic = road_edge_polylines_from_map(map_data)
+    if packed.shape[0] == 0:
+        return None, None
+    return pad_packed_polylines(packed, cyclic)
+
+
 def signed_distance_to_polylines(xyzs, polylines, is_cyclic=None,
                                  z_stretch: float = 1.0):
     """Signed 2D distance from query points to the polyline boundary.

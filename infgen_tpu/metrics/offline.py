@@ -41,16 +41,18 @@ def dump_log_features(dataset, cfg: Config, out_dir: str):
     from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
     from infgen_tpu.tokenizers.motion_tokenizer import MotionTokenizer
 
+    from infgen_tpu.metrics.map_distance import packed_road_edges
+
     os.makedirs(out_dir, exist_ok=True)
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()
     build = jax.jit(lambda s, r: build_model_inputs(cfg, mt, attr, s, r))
-    feats = jax.jit(lambda scen, inputs: compute_metric_features(
+    feats = jax.jit(lambda scen, inputs, re, rc: compute_metric_features(
         scen.agents.position[..., :2], scen.agents.heading, scen.agents.valid,
         scen.agents.shape[:, 0], scen.agents.shape[:, 1],
         scen.agents.slot_mask, scen.agents.av_index,
-        inputs.tokens.token_pos, inputs.tokens.state_idx))
+        inputs.tokens.token_pos, inputs.tokens.state_idx, re, rc))
 
     for i in range(len(dataset)):
         out = os.path.join(out_dir, f"log_features_{i:06d}.npz")
@@ -58,7 +60,8 @@ def dump_log_features(dataset, cfg: Config, out_dir: str):
             continue
         scen = dataset[i]
         inputs = build(scen, jax.random.PRNGKey(0))
-        _save_features(out, feats(scen, inputs))
+        road_edges, road_cyclic = packed_road_edges(scen.map)
+        _save_features(out, feats(scen, inputs, road_edges, road_cyclic))
     return out_dir
 
 
@@ -87,10 +90,15 @@ def compute_metrics_offline(rollout_dir: str, total_features_path: str,
     results = []
     for f in sorted(glob.glob(os.path.join(rollout_dir, "rollout_*.npz"))):
         d = np.load(f)
+        road_edges = d["road_edges"] if "road_edges" in d else None
+        road_cyclic = d["road_cyclic"] if "road_cyclic" in d else None
+        if road_edges is not None and road_edges.shape[0] == 0:
+            road_edges = road_cyclic = None
         sim = compute_metric_features(
             d["pred_traj"], d["pred_head"], d["pred_valid"].astype(bool),
             d["length"], d["width"], d["slot_active"].astype(bool),
-            int(d["av_index"]), d["token_pos"], d["token_state"])
+            int(d["av_index"]), d["token_pos"], d["token_state"],
+            road_edges, road_cyclic)
         m = compute_scenario_metrics(wcfg, log_dist, sim)
         m = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v).tolist())
              for k, v in m.items()}
@@ -108,8 +116,9 @@ def compute_metrics_offline(rollout_dir: str, total_features_path: str,
     return results
 
 
-def save_rollout_dump(path: str, out: dict):
-    """Persist one rollout's arrays for offline scoring."""
+def save_rollout_dump(path: str, out: dict, road_edges=None, road_cyclic=None):
+    """Persist one rollout's arrays for offline scoring. Road-edge polylines
+    ride along so offline scoring can emit the map bucket without the map."""
     np.savez_compressed(
         path,
         pred_traj=np.asarray(out["pred_traj"]),
@@ -121,6 +130,10 @@ def save_rollout_dump(path: str, out: dict):
         av_index=int(out["av_index"]),
         token_pos=np.asarray(out["pos_a"]),
         token_state=np.asarray(out["next_state_idx"]),
+        road_edges=(np.asarray(road_edges) if road_edges is not None
+                    else np.zeros((0, 2, 4), np.float32)),
+        road_cyclic=(np.asarray(road_cyclic) if road_cyclic is not None
+                     else np.zeros((0,), bool)),
     )
 
 

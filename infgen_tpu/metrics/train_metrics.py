@@ -30,7 +30,10 @@ def min_ade(pred, target, valid_mask, eval_timestep: int = 70):
 
 
 def min_fde(pred, target, valid_mask, eval_timestep: int = 70):
-    """minFDE at the eval step (utils/metrics.py:367-392)."""
+    """minFDE evaluated at index min(eval_timestep, T) - 2, matching the
+    reference's own double offset (utils/metrics.py:384-387: eval_timestep =
+    min(70, T) - 1, then pred[:, eval_timestep-1]). The apparent off-by-one
+    is the reference's actual behavior, reproduced deliberately."""
     t = min(eval_timestep, pred.shape[1]) - 1
     err = jnp.linalg.norm(pred[:, t - 1] - target[:, t - 1], axis=-1)
     m = valid_mask[:, t - 1]

@@ -271,12 +271,20 @@ def compute_scenario_metrics(cfg: WosacConfig, log_dist: LogDistributions,
 
     coll_ind = jnp.where(flat.valid, flat.collision_per_step, False).any(-1)
     out["simulated_collision_rate"] = coll_ind.mean()
+    # simulated_offroad_rate: the reference defines the proto field
+    # (long_metrics.proto:145) and reports it (compute_metrics.py:1484) but
+    # leaves the computation commented out (:1094) so it reads the proto
+    # default 0; we implement the evident intent, mirroring the collision rate
+    offroad_ind = jnp.where(flat.valid, flat.offroad_per_step, False).any(-1)
+    out["simulated_offroad_rate"] = offroad_ind.mean()
     out["metametric"] = metametric
     return {
         **{f"{k}_likelihood": v for k, v in out.items()
-           if k not in ("simulated_collision_rate", "metametric")},
+           if k not in ("simulated_collision_rate", "simulated_offroad_rate",
+                        "metametric")},
         "metametric": metametric,
         "simulated_collision_rate": out["simulated_collision_rate"],
+        "simulated_offroad_rate": out["simulated_offroad_rate"],
         "wosac_long/metametric": meta_long,
         **{f"wosac_long/{k}_likelihood": v for k, v in long.items()},
     }

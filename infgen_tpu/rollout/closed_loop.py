@@ -97,8 +97,14 @@ def _agent_row_features(dec, tables, pos, head, state, token, grid, type_,
 
 
 def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
-                    num_recurrent_steps: int = None, jit: bool = True):
-    """Build `rollout(params, scenario, rng) -> dict`."""
+                    num_recurrent_steps: int = None, jit: bool = True,
+                    force_insert: bool = False):
+    """Build `rollout(params, scenario, rng) -> dict`.
+
+    force_insert=True makes every insertion iteration propose an agent
+    regardless of the seed-state head (the reference's DEBUG mode,
+    agent_decoder.py:1888-1889) — bounds the trained-model insertion cost
+    for benchmarking."""
     R = num_recurrent_steps or cfg.num_recurrent_steps_val
     n_steps = R // SHIFT
     Ti = (R + cfg.num_historical_steps) // SHIFT
@@ -220,7 +226,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             valid=valid, interact=interact, temporal=temporal,
             slot_active=slot_active, type_=type_, shape=shape,
             token_emb=token_emb, type_emb=type_emb, shape_emb=shape_emb,
-            raw_feat=raw_feat, cache=jnp.zeros((L, A, Ti, D)),
+            raw_feat=raw_feat, cache=jnp.zeros((L, A, Ti, D), raw_feat.dtype),
             pred_traj=jnp.zeros((A, R, 2)), pred_head=jnp.zeros((A, R)),
             pred_state=jnp.zeros((A, R)), n_inserted=jnp.zeros((), jnp.int32),
             rng=rng,
@@ -385,8 +391,12 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                                   pl_r_raw, a2sa_r_raw, a2sa_mask, x_pt)
             heads = apply_dec(params, AgentDecoder.seed_heads, seed_feat)
 
+            heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
             enter_prob = jax.nn.softmax(heads["state_logits"])[1]
-            want_enter = jnp.argmax(heads["state_logits"]) == 1
+            if force_insert:
+                want_enter = jnp.bool_(True)
+            else:
+                want_enter = jnp.argmax(heads["state_logits"]) == 1
             type_idx = jnp.argmax(heads["type_logits"]).astype(jnp.int32)
             shape_pred = heads["shape"]
 
@@ -423,6 +433,12 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # while_loop (not fori): exits as soon as the seed head says stop.
         # Under a vmapped rollout JAX keeps iterating until every batch
         # element has stopped, with per-element effects already masked.
+        # DELIBERATE DEVIATION from the reference: an occupied-cell rejection
+        # consumes one of the insert_limit iterations here, whereas the
+        # reference `continue`s and retries without counting
+        # (agent_decoder.py:1906-1909) — unbounded in the worst case. A
+        # bounded loop is required for a compiled fixed-shape program; the
+        # cost is at most fewer insertions on a crowded step.
         probs0 = jnp.zeros((cfg.insert_limit + 1,))
         carry, _, n_new, probs, _ = jax.lax.while_loop(
             lambda loop: (loop[4] < cfg.insert_limit) & ~loop[1],
@@ -556,6 +572,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                             x_col, onehot, idx_p, r_pp, val_p,
                             idx_a, r_aa, val_a, x_pt)
         heads = apply_dec(params, AgentDecoder.refine_heads, refined[slot])
+        heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
 
         if cfg.use_head_token:
             h_idx = jnp.argmax(heads["head_logits"]).astype(jnp.int32)
@@ -635,6 +652,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         rng, r_tok = jax.random.split(carry.rng)
         carry = carry._replace(rng=rng)
 
+        token_logits = token_logits.astype(jnp.float32)
+        state_logits = state_logits.astype(jnp.float32)
         probs = jax.nn.softmax(token_logits, axis=-1)
         next_token = sample_from_topk(r_tok, probs, cfg.motion_beam_size)
 
@@ -806,6 +825,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             eval_shape=eval_shape,
             next_token_idx=jnp.where(carry.token == -2, -1, carry.token),
             next_state_idx=carry.state,
+            grid_index=carry.grid,
             n_inserted=carry.n_inserted,
             per_step_inserted=outs["n_inserted"],
             seed_probs=outs["seed_probs"],

@@ -47,12 +47,30 @@ class SyntheticDataset:
 
 def train(cfg: Config, dataset, save_dir: str = "runs/default",
           max_steps: Optional[int] = None, log_every: int = 10,
-          resume: bool = True, log_fn: Callable = print):
+          resume: bool = True, log_fn: Optional[Callable] = None,
+          pretrain_ckpt: Optional[str] = None):
     """Run training; returns the final TrainState."""
+    import dataclasses
+
     from infgen_tpu.utils.backup import backup_source
+    from infgen_tpu.utils.logging import get_logger, maybe_wandb_init
 
     os.makedirs(save_dir, exist_ok=True)
     backup_source(save_dir)  # run.py:17-48 source snapshot
+
+    # observability tier (reference: rank-aware logger utils/func.py:125 +
+    # wandb scalars run.py:93-96, project 'simagent'); wandb is a no-op
+    # offline or when the package is absent
+    logger = get_logger(log_file=os.path.join(save_dir, "train.log"))
+    if log_fn is None:
+        log_fn = logger.info
+    wandb_run = maybe_wandb_init("simagent", dataclasses.asdict(cfg))
+
+    # profiling tier: INFGEN_PROFILE=<dir> captures a jax.profiler trace of
+    # steps 10-14 (past compilation); StepTimer splits input vs step time
+    from infgen_tpu.utils.profiling import StepTimer, device_memory_stats
+    profile_dir = os.environ.get("INFGEN_PROFILE")
+    timer = StepTimer()
 
     trainer = Trainer(cfg)
     n_dev = trainer.mesh.devices.size
@@ -61,6 +79,15 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
     rng = jax.random.PRNGKey(cfg.seed)
     state = trainer.init_state(rng, dataset[0])
     ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
+    if pretrain_ckpt:
+        # weights-only non-strict warm start (reference run.py --pretrain_ckpt
+        # -> load_state_from_file, model/infgen.py:876-916)
+        from infgen_tpu.train.checkpoint import load_weights
+        src = CheckpointManager(pretrain_ckpt).restore(jax.device_get(state))
+        if src is not None:
+            state = state._replace(
+                params=load_weights(jax.device_get(state.params), src.params))
+            log_fn(f"warm-started weights from {pretrain_ckpt}")
     if resume and ckpt.latest_step() is not None:
         restored = ckpt.restore(state)
         if restored is not None:
@@ -75,40 +102,66 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
     step = int(np.asarray(state.step))
     t_last = time.perf_counter()
 
-    def staged_batches(epoch):
-        """Prefetch: device_put is async, so staging the next batch while the
-        current step runs hides host->device transfer (which dominates wall
-        time on remote TPU backends)."""
-        it = (trainer.shard_batch(stack_scenarios(bl))
-              for bl in dataset.iter_batches(batch_size, shuffle=True,
-                                             seed=cfg.seed + epoch))
-        prev = next(it, None)
-        while prev is not None:
-            nxt = next(it, None)
-            yield prev
-            prev = nxt
+    from infgen_tpu.data.loader import BatchLoader, staged
 
-    for epoch in range(cfg.max_epochs):
-        for batch in staged_batches(epoch):
-            rng, sub = jax.random.split(rng)
-            state, logs = trainer.train_step(state, batch, sub)
-            step += 1
-            if step % log_every == 0:
-                logs = {k: float(v) for k, v in logs.items()}
-                dt = (time.perf_counter() - t_last) / log_every
-                t_last = time.perf_counter()
-                logs.update(step=step, epoch=epoch, sec_per_step=round(dt, 3))
-                log_fn(f"step {step}: loss={logs['loss']:.4f} "
-                       f"({dt:.2f}s/step)")
-                if metrics_log:
-                    metrics_log.write(json.dumps(logs) + "\n")
-                    metrics_log.flush()
-            ckpt.save(step, jax.device_get(state))
-            if max_steps and step >= max_steps:
-                ckpt.wait()
-                return state
-    ckpt.wait()
-    return state
+    loader = BatchLoader(dataset, batch_size, num_workers=cfg.num_workers,
+                         prefetch_batches=cfg.prefetch_batches)
+
+    def staged_batches(epoch):
+        """Worker-pool scenario building + deep prefetch: device_put is
+        async, so staging `prefetch_batches` ahead while steps run hides
+        host->device transfer (which dominates wall time on remote TPU
+        backends)."""
+        return staged(
+            loader.epoch(shuffle=True, seed=cfg.seed + epoch),
+            lambda bl: trainer.shard_batch(stack_scenarios(bl)),
+            depth=cfg.prefetch_batches)
+
+    try:
+        for epoch in range(cfg.max_epochs):
+            it = iter(staged_batches(epoch))
+            while True:
+                with timer.phase("input"):
+                    batch = next(it, None)
+                if batch is None:
+                    break
+                if profile_dir and step == 10:
+                    jax.profiler.start_trace(profile_dir)
+                rng, sub = jax.random.split(rng)
+                with timer.phase("step"):
+                    state, logs = trainer.train_step(state, batch, sub)
+                if profile_dir and step == 14:
+                    jax.block_until_ready(logs["loss"])
+                    jax.profiler.stop_trace()
+                    log_fn(f"profiler trace written to {profile_dir}")
+                step += 1
+                if step % log_every == 0:
+                    logs = {k: float(v) for k, v in logs.items()}
+                    dt = (time.perf_counter() - t_last) / log_every
+                    t_last = time.perf_counter()
+                    in_t = timer.totals["input"]
+                    tot_t = in_t + timer.totals["step"]
+                    logs.update(step=step, epoch=epoch,
+                                sec_per_step=round(dt, 3),
+                                input_frac=round(in_t / max(tot_t, 1e-9), 3))
+                    log_fn(f"step {step}: loss={logs['loss']:.4f} "
+                           f"({dt:.2f}s/step, input {logs['input_frac']:.0%})")
+                    if metrics_log:
+                        metrics_log.write(json.dumps(logs) + "\n")
+                        metrics_log.flush()
+                    if wandb_run is not None:
+                        wandb_run.log(logs, step=step)
+                ckpt.save(step, jax.device_get(state))
+                if max_steps and step >= max_steps:
+                    ckpt.wait()
+                    return state
+        ckpt.wait()
+        return state
+    finally:
+        loader.close()
+        if timer.counts.get("step"):
+            log_fn("phase timings:\n" + timer.summary())
+            log_fn(f"device memory: {device_memory_stats()}")
 
 
 def validate_open_loop(trainer: Trainer, state, dataset, num_scenarios: int = 8,

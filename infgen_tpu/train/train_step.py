@@ -62,8 +62,16 @@ class Trainer:
             optax.clip_by_global_norm(cfg.grad_clip_norm),
             optax.adamw(learning_rate=lr_schedule(cfg)),
         )
+        if cfg.accumulate_grad_batches > 1:
+            # gradient accumulation (reference run.py:132 accumulate_grad_
+            # batches -> Lightning): params update every k micro-batches
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=cfg.accumulate_grad_batches)
         if mesh is None:
-            mesh = Mesh(jax.devices(), axis_names=("data",))
+            import numpy as np
+            devs = jax.devices()
+            n = cfg.mesh_shape.get("data", 0) or len(devs)
+            mesh = Mesh(np.array(devs[:n]), axis_names=("data",))
         self.mesh = mesh
         self._jit_step = None
 
@@ -84,6 +92,9 @@ class Trainer:
                 self.motion_tok.vocab, self.map_vocab["traj_src"], rng,
                 deterministic=True)
         params = variables["params"]
+        if self.cfg.param_dtype != "float32":
+            from infgen_tpu.ops.precision import cast_params_for_compute
+            params = cast_params_for_compute(params, self.cfg.param_dtype)
         opt_state = self.tx.init(params)
         return TrainState(params=params, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32))

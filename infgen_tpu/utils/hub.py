@@ -30,3 +30,25 @@ def download_checkpoint(repo_id: str, local_dir: str, token: str = None):
     hub = _require_hub()
     return hub.snapshot_download(repo_id, local_dir=local_dir,
                                  token=token or os.environ.get("HF_TOKEN"))
+
+
+def main(argv=None):
+    """CLI: `python -m infgen_tpu.utils.hub upload|download ...`
+    (reference scripts/hf_model.py __main__)."""
+    import argparse
+
+    p = argparse.ArgumentParser("infgen_tpu.utils.hub")
+    p.add_argument("mode", choices=["upload", "download"])
+    p.add_argument("--repo_id", required=True)
+    p.add_argument("--ckpt_dir", default="runs/default/ckpt")
+    p.add_argument("--local_dir", default="runs/hub")
+    p.add_argument("--token", default=None)
+    args = p.parse_args(argv)
+    if args.mode == "upload":
+        print(upload_checkpoint(args.ckpt_dir, args.repo_id, args.token))
+    else:
+        print(download_checkpoint(args.repo_id, args.local_dir, args.token))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,9 +30,15 @@ def get_logger(name: str = "infgen_tpu", log_file: Optional[str] = None,
 
 
 def maybe_wandb_init(project: str, config: dict):
-    """Optional wandb run (reference run.py:93-96); no-op when unavailable."""
+    """Optional wandb run (reference run.py:93-96); no-op when unavailable.
+
+    Defaults to offline mode (local run files, no network) unless WANDB_MODE
+    says otherwise — training environments may have no egress."""
+    import os
+
     try:
         import wandb
-        return wandb.init(project=project, config=config)
+        return wandb.init(project=project, config=config,
+                          mode=os.environ.get("WANDB_MODE", "offline"))
     except Exception:
         return None

@@ -187,3 +187,67 @@ def test_wosac_config_textproto_matches_defaults():
     d = WosacConfig()
     for f in dataclasses.fields(WosacConfig):
         assert getattr(c, f.name) == getattr(d, f.name), f.name
+
+
+def test_offroad_in_metric_bundle():
+    """Road-edge features flow through the bundle and the wosac scorer
+    (reference compute_metrics.py:626-649 map bucket + simulated_offroad_rate
+    proto field long_metrics.proto:145)."""
+    from infgen_tpu.metrics import map_distance as MD
+
+    rng = np.random.default_rng(11)
+    T10 = 91
+    # a corridor: road edges at y=+-10 wound so the road is to their left
+    # (the reference's on-road sign convention, map_features.py:27-81);
+    # agent 0 stays inside, agent 1 exits
+    left = np.stack([np.linspace(200, -50, 40), np.full(40, 10.0)], -1)
+    right = np.stack([np.linspace(-50, 200, 40), np.full(40, -10.0)], -1)
+    packed, cyclic = MD.pad_packed_polylines(*MD.pack_polylines([left, right]))
+
+    A2 = 2
+    xy = np.zeros((A2, T10, 2), np.float32)
+    xy[:, :, 0] = np.linspace(0, 80, T10)
+    xy[1, :, 1] = np.linspace(0, 30, T10)  # drifts off-road
+    heading = np.zeros((A2, T10), np.float32)
+    valid = np.ones((A2, T10), bool)
+    length = np.full(A2, 4.0, np.float32)
+    width = np.full(A2, 1.8, np.float32)
+    Ttok = T10 // 5
+    state = np.ones((A2, Ttok), np.int64)
+
+    f = F.compute_metric_features(
+        xy, heading, valid, length, width, np.ones(A2, bool), 0,
+        xy[:, ::5][:, :Ttok], state, packed, cyclic)
+    off = np.asarray(f.offroad_per_step)
+    assert not off[0].any(), "in-corridor agent flagged offroad"
+    assert off[1, -1], "agent beyond the edge not flagged offroad"
+    # distances are negative on-road, positive off-road
+    d = np.asarray(f.distance_to_road_edge)
+    assert d[0, 0] < 0 and d[1, -1] > 0
+
+    cfg = WosacConfig()
+    log_dist = make_log_distributions(cfg, f)
+    m = compute_scenario_metrics(cfg, log_dist, f)
+    assert 0.0 < float(m["simulated_offroad_rate"]) <= 1.0
+
+    # without polylines the fields default to on-road
+    f0 = F.compute_metric_features(
+        xy, heading, valid, length, width, np.ones(A2, bool), 0,
+        xy[:, ::5][:, :Ttok], state)
+    m0 = compute_scenario_metrics(cfg, log_dist, f0)
+    assert float(m0["simulated_offroad_rate"]) == 0.0
+
+
+def test_road_edge_polylines_from_map():
+    """Chain reconstruction from pt tokens (synthetic scenario road edges)."""
+    from infgen_tpu.config import Config
+    from infgen_tpu.data.synthetic import make_synthetic_scenario
+    from infgen_tpu.metrics import map_distance as MD
+
+    scen = make_synthetic_scenario(Config(), seed=0, num_agents=16)
+    packed, cyclic = MD.road_edge_polylines_from_map(scen.map)
+    assert packed.shape[0] >= 1
+    # chains are ordered by chain_pos: consecutive points within ~10 m
+    deltas = np.linalg.norm(np.diff(packed[..., :2], axis=1), axis=-1)
+    seg_ok = (packed[:, :-1, 3] > 0) & (packed[:, 1:, 3] > 0)
+    assert (deltas[seg_ok] < 10.0).all()
