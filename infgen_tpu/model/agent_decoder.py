@@ -54,30 +54,34 @@ class AgentDecoder(nn.Module):
     angle_size: int
 
     def setup(self):
+        from infgen_tpu.ops.precision import compute_dtype_of
+
         cfg = self.cfg
         D = cfg.hidden_dim
+        dt = compute_dtype_of(cfg.compute_dtype)
 
-        self.type_a_emb = nn.Embed(4, D, embedding_init=EMB_INIT)
-        self.shape_emb = MLPEmbedding(D)
-        self.state_a_emb = nn.Embed(4, D, embedding_init=EMB_INIT)
+        self.type_a_emb = nn.Embed(4, D, embedding_init=EMB_INIT, dtype=dt)
+        self.shape_emb = MLPEmbedding(D, dtype=dt)
+        self.state_a_emb = nn.Embed(4, D, embedding_init=EMB_INIT, dtype=dt)
 
-        self.x_a_emb = FourierEmbedding(2, D, cfg.num_freq_bands)
-        self.r_t_emb = FourierEmbedding(4, D, cfg.num_freq_bands)
-        self.r_pt2a_emb = FourierEmbedding(3, D, cfg.num_freq_bands)
-        self.r_a2a_emb = FourierEmbedding(3, D, cfg.num_freq_bands)
-        self.r_pt2sa_emb = FourierEmbedding(3, D, cfg.num_freq_bands)
-        self.r_a2sa_emb = FourierEmbedding(3, D, cfg.num_freq_bands)
+        self.x_a_emb = FourierEmbedding(2, D, cfg.num_freq_bands, dtype=dt)
+        self.r_t_emb = FourierEmbedding(4, D, cfg.num_freq_bands, dtype=dt)
+        self.r_pt2a_emb = FourierEmbedding(3, D, cfg.num_freq_bands, dtype=dt)
+        self.r_a2a_emb = FourierEmbedding(3, D, cfg.num_freq_bands, dtype=dt)
+        self.r_pt2sa_emb = FourierEmbedding(3, D, cfg.num_freq_bands, dtype=dt)
+        self.r_a2sa_emb = FourierEmbedding(3, D, cfg.num_freq_bands, dtype=dt)
 
-        self.token_emb_veh = MLPEmbedding(D)
-        self.token_emb_ped = MLPEmbedding(D)
-        self.token_emb_cyc = MLPEmbedding(D)
-        self.token_emb_grid = MLPEmbedding(D)
-        self.no_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT)
-        self.bos_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT)
-        self.invalid_offset_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT)
+        self.token_emb_veh = MLPEmbedding(D, dtype=dt)
+        self.token_emb_ped = MLPEmbedding(D, dtype=dt)
+        self.token_emb_cyc = MLPEmbedding(D, dtype=dt)
+        self.token_emb_grid = MLPEmbedding(D, dtype=dt)
+        self.no_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT, dtype=dt)
+        self.bos_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT, dtype=dt)
+        self.invalid_offset_token_emb = nn.Embed(1, D, embedding_init=EMB_INIT,
+                                                 dtype=dt)
 
         n_inputs = 4 if cfg.use_grid_token else 3
-        self.fusion_emb = MLPEmbedding(D)
+        self.fusion_emb = MLPEmbedding(D, dtype=dt)
         self._fusion_in = D * n_inputs
 
         # rematerialize attention in backward: the r-bias projections are the
@@ -87,7 +91,7 @@ class AgentDecoder(nn.Module):
         mk = lambda bip, pos, name, n: [
             att_cls(D, cfg.num_heads, cfg.head_dim, cfg.dropout,
                     bipartite=bip, has_pos_emb=pos, name=f"{name}_{i}",
-                    use_pallas=cfg.use_pallas_attention)
+                    use_pallas=cfg.use_pallas_attention, dtype=dt)
             for i in range(n)
         ]
         self.t_attn_layers = mk(False, True, "t_attn", cfg.num_agent_layers)

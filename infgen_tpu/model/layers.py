@@ -10,7 +10,7 @@ maps straight onto the MXU instead of scatter/gather units TPUs don't have.
 """
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -21,8 +21,11 @@ XAVIER = nn.initializers.xavier_uniform()
 EMB_INIT = nn.initializers.normal(stddev=0.02)
 
 
-def _dense(features, use_bias=True, name=None):
-    return nn.Dense(features, use_bias=use_bias, kernel_init=XAVIER, name=name)
+def _dense(features, use_bias=True, name=None, dtype=None):
+    """Dense with the compute-dtype policy: `dtype=bfloat16` runs the matmul
+    in bf16 on the MXU while params stay fp32 masters (ops/precision.py)."""
+    return nn.Dense(features, use_bias=use_bias, kernel_init=XAVIER, name=name,
+                    dtype=dtype)
 
 
 class MLPLayer(nn.Module):
@@ -30,29 +33,31 @@ class MLPLayer(nn.Module):
 
     hidden_dim: int
     output_dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = _dense(self.hidden_dim)(x)
-        x = nn.LayerNorm()(x)
+        x = _dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.relu(x)
-        return _dense(self.output_dim)(x)
+        return _dense(self.output_dim, dtype=self.dtype)(x)
 
 
 class MLPEmbedding(nn.Module):
     """3-layer embedding MLP. Reference: layers.py:163-192."""
 
     hidden_dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = _dense(128)(x)
-        x = nn.LayerNorm()(x)
+        x = _dense(128, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = _dense(self.hidden_dim)(x)
-        x = nn.LayerNorm()(x)
+        x = _dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.relu(x)
-        return _dense(self.hidden_dim)(x)
+        return _dense(self.hidden_dim, dtype=self.dtype)(x)
 
 
 class FourierEmbedding(nn.Module):
@@ -64,28 +69,32 @@ class FourierEmbedding(nn.Module):
     input_dim: int
     hidden_dim: int
     num_freq_bands: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, categorical_embs: Optional[list] = None):
         if x is not None:
             freqs = self.param("freqs", EMB_INIT, (self.input_dim, self.num_freq_bands))
+            # cos/sin of the raw (fp32) features, then compute-dtype MLPs
             xf = x[..., None] * freqs * 2 * math.pi  # [..., input_dim, F]
             feat = jnp.concatenate([jnp.cos(xf), jnp.sin(xf), x[..., None]], axis=-1)
             outs = []
             for i in range(self.input_dim):
-                h = _dense(self.hidden_dim, name=f"mlp_{i}_0")(feat[..., i, :])
-                h = nn.LayerNorm(name=f"mlp_{i}_ln")(h)
+                h = _dense(self.hidden_dim, name=f"mlp_{i}_0",
+                           dtype=self.dtype)(feat[..., i, :])
+                h = nn.LayerNorm(name=f"mlp_{i}_ln", dtype=self.dtype)(h)
                 h = nn.relu(h)
-                h = _dense(self.hidden_dim, name=f"mlp_{i}_1")(h)
+                h = _dense(self.hidden_dim, name=f"mlp_{i}_1",
+                           dtype=self.dtype)(h)
                 outs.append(h)
             out = sum(outs)
             if categorical_embs is not None:
                 out = out + sum(categorical_embs)
         else:
             out = sum(categorical_embs)
-        out = nn.LayerNorm(name="out_ln")(out)
+        out = nn.LayerNorm(name="out_ln", dtype=self.dtype)(out)
         out = nn.relu(out)
-        return _dense(self.hidden_dim, name="out_dense")(out)
+        return _dense(self.hidden_dim, name="out_dense", dtype=self.dtype)(out)
 
 
 class DenseAttention(nn.Module):
@@ -111,6 +120,7 @@ class DenseAttention(nn.Module):
     bipartite: bool = False
     has_pos_emb: bool = True
     use_pallas: bool = False  # fused kernel for eligible dense-square calls
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x_dst, x_src=None, r=None, mask=None, deterministic=True):
@@ -120,16 +130,16 @@ class DenseAttention(nn.Module):
         if same:
             x_src = x_dst
 
-        ln_src = nn.LayerNorm(name="prenorm_src")
+        ln_src = nn.LayerNorm(name="prenorm_src", dtype=self.dtype)
         src_n = ln_src(x_src)
         if self.bipartite:
-            dst_n = nn.LayerNorm(name="prenorm_dst")(x_dst)
+            dst_n = nn.LayerNorm(name="prenorm_dst", dtype=self.dtype)(x_dst)
         else:
             dst_n = src_n if same else ln_src(x_dst)
 
-        q = _dense(H * Hd, name="to_q")(dst_n)
-        k = _dense(H * Hd, use_bias=False, name="to_k")(src_n)
-        v = _dense(H * Hd, name="to_v")(src_n)
+        q = _dense(H * Hd, name="to_q", dtype=self.dtype)(dst_n)
+        k = _dense(H * Hd, use_bias=False, name="to_k", dtype=self.dtype)(src_n)
+        v = _dense(H * Hd, name="to_v", dtype=self.dtype)(src_n)
         q = q.reshape(*q.shape[:-1], H, Hd)
         k = k.reshape(*k.shape[:-1], H, Hd)
         v = v.reshape(*v.shape[:-1], H, Hd)
@@ -137,38 +147,70 @@ class DenseAttention(nn.Module):
         r_per_pair = r is not None and r.ndim == x_src.ndim + 1
 
         # fused Pallas path: dense square attention [B, Q, D] x [B, K, D]
-        # with per-pair r and a mask, no dropout active (the kernel has no
-        # VJP, so gradient-taking callers keep the XLA path)
+        # with per-pair r and a mask; training runs through the custom-VJP
+        # wrapper (recompute backward) with an explicit attention-dropout
+        # multiplier matching torch semantics. Unbatched square calls
+        # (rollout column passes, [A, D] x [A, D]) ride as B=1.
+        pallas_unbatched = x_dst.ndim == 2 and x_src.ndim == 2
         pallas_ok = (self.use_pallas and self.has_pos_emb and r_per_pair
-                     and mask is not None and x_dst.ndim == 3
-                     and (deterministic or self.dropout == 0.0))
+                     and mask is not None
+                     and (x_dst.ndim == 3 or pallas_unbatched)
+                     and x_dst.shape[-2] >= 8)  # query tiling wastes small Q
         if self.has_pos_emb:
-            # raw r-projection params shared by both paths
+            # raw r-projection params shared by both paths (fp32 masters,
+            # cast to the compute dtype like flax Dense does)
             w_kr = self.param("w_kr", XAVIER, (D, H * Hd))
             w_vr = self.param("w_vr", XAVIER, (D, H * Hd))
             b_vr = self.param("b_vr", nn.initializers.zeros, (H * Hd,))
+            if self.dtype is not None:
+                w_kr = w_kr.astype(self.dtype)
+                w_vr = w_vr.astype(self.dtype)
+                b_vr = b_vr.astype(self.dtype)
 
         if pallas_ok:
-            from infgen_tpu.ops.pallas_attention import r_biased_attention
+            import jax
 
+            from infgen_tpu.ops.pallas_attention import r_biased_attention_trainable
+
+            # the kernel computes in fp32 (online softmax stability); under a
+            # bf16 compute policy inputs are cast up at the boundary
+            f32 = jnp.float32
             r_n = nn.LayerNorm(name="prenorm_r")(r)
-            q2 = q.reshape(*q.shape[:-2], H * Hd)
-            k2 = k.reshape(*k.shape[:-2], H * Hd)
-            v2 = v.reshape(*v.shape[:-2], H * Hd) + b_vr
-            agg = r_biased_attention(q2, k2, v2, r_n, w_kr, w_vr, mask, H)
+            q2 = q.reshape(*q.shape[:-2], H * Hd).astype(f32)
+            k2 = k.reshape(*k.shape[:-2], H * Hd).astype(f32)
+            v2 = (v.reshape(*v.shape[:-2], H * Hd) + b_vr).astype(f32)
+            pmask = mask
+            if pallas_unbatched:
+                q2, k2, v2 = q2[None], k2[None], v2[None]
+                r_n, pmask = r_n[None], mask[None]
+            drop = None
+            if self.dropout > 0.0 and not deterministic:
+                keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                            1.0 - self.dropout, pmask.shape)
+                drop = keep.astype(f32) / (1.0 - self.dropout)
+            agg = r_biased_attention_trainable(
+                q2, k2, v2, r_n.astype(f32), w_kr.astype(f32),
+                w_vr.astype(f32), pmask, H, drop).astype(x_dst.dtype)
+            if pallas_unbatched:
+                agg = agg[0]
         else:
             # scores: q . (k + k_r). r may be per-pair [..., Q, K, D] or
             # query-independent [..., K, D] (same geometry for every query,
             # e.g. seeds that all sit on the ego position).
-            sim = jnp.einsum("...qhd,...khd->...qkh", q, k)
+            # scores accumulate in fp32 (MXU-native: bf16 inputs, fp32 out)
+            # so the softmax below is full precision under any compute dtype
+            sim = jnp.einsum("...qhd,...khd->...qkh", q, k,
+                             preferred_element_type=jnp.float32)
             if self.has_pos_emb and r is not None:
-                r_n = nn.LayerNorm(name="prenorm_r")(r)
+                r_n = nn.LayerNorm(name="prenorm_r", dtype=self.dtype)(r)
                 k_r = (r_n @ w_kr).reshape(*r_n.shape[:-1], H, Hd)
                 v_r = (r_n @ w_vr + b_vr).reshape(*r_n.shape[:-1], H, Hd)
                 if r_per_pair:
-                    sim = sim + jnp.einsum("...qhd,...qkhd->...qkh", q, k_r)
+                    sim = sim + jnp.einsum("...qhd,...qkhd->...qkh", q, k_r,
+                                           preferred_element_type=jnp.float32)
                 else:
-                    sim = sim + jnp.einsum("...qhd,...khd->...qkh", q, k_r)
+                    sim = sim + jnp.einsum("...qhd,...khd->...qkh", q, k_r,
+                                           preferred_element_type=jnp.float32)
             sim = sim * (Hd ** -0.5)
 
             if mask is not None:
@@ -183,6 +225,7 @@ class DenseAttention(nn.Module):
                 attn = nn.Dropout(self.dropout, deterministic=False,
                                   name="attn_drop")(attn)
 
+            attn = attn.astype(v.dtype)  # back to compute dtype for the MXU
             agg = jnp.einsum("...qkh,...khd->...qhd", attn, v)
             if self.has_pos_emb and r is not None:
                 if r_per_pair:
@@ -192,17 +235,19 @@ class DenseAttention(nn.Module):
             agg = agg.reshape(*agg.shape[:-2], H * Hd)
 
         # gated update (layers.py:94-99)
-        g = nn.sigmoid(_dense(H * Hd, name="to_g")(jnp.concatenate([agg, dst_n], axis=-1)))
-        agg = agg + g * (_dense(H * Hd, name="to_s")(dst_n) - agg)
-        attn_out = _dense(D, name="to_out")(agg)
+        dt = self.dtype
+        g = nn.sigmoid(_dense(H * Hd, name="to_g", dtype=dt)(
+            jnp.concatenate([agg, dst_n], axis=-1)))
+        agg = agg + g * (_dense(H * Hd, name="to_s", dtype=dt)(dst_n) - agg)
+        attn_out = _dense(D, name="to_out", dtype=dt)(agg)
 
-        x = x_dst + nn.LayerNorm(name="postnorm")(attn_out)
+        x = x_dst + nn.LayerNorm(name="postnorm", dtype=dt)(attn_out)
 
         # FFN (layers.py:42-47,75)
-        h = nn.LayerNorm(name="ff_prenorm")(x)
-        h = _dense(D * 4, name="ff_0")(h)
+        h = nn.LayerNorm(name="ff_prenorm", dtype=dt)(x)
+        h = _dense(D * 4, name="ff_0", dtype=dt)(h)
         h = nn.relu(h)
         if self.dropout > 0.0 and not deterministic:
             h = nn.Dropout(self.dropout, deterministic=False, name="ff_drop")(h)
-        h = _dense(D, name="ff_1")(h)
-        return x + nn.LayerNorm(name="ff_postnorm")(h)
+        h = _dense(D, name="ff_1", dtype=dt)(h)
+        return x + nn.LayerNorm(name="ff_postnorm", dtype=dt)(h)

@@ -32,8 +32,11 @@ class MapEncoder(nn.Module):
         pt_valid_mask: visibility mask for masked-token pretraining (defaults
         to map_data.mask). Returns dict with x_pt [P, D] and next-token logits.
         """
+        from infgen_tpu.ops.precision import compute_dtype_of
+
         cfg = self.cfg
         D = cfg.hidden_dim
+        dt = compute_dtype_of(cfg.compute_dtype)
         pos = map_data.position          # [P, 2]
         orient = map_data.orientation    # [P]
         mask = map_data.mask
@@ -42,12 +45,15 @@ class MapEncoder(nn.Module):
 
         # token embedding from raw vocab geometry (map_decoder.py:58-62,79-81)
         vocab_flat = map_vocab_traj.reshape(map_vocab_traj.shape[0], -1)  # [V, 22]
-        token_emb_src = MLPEmbedding(D, name="token_emb")(vocab_flat)
+        token_emb_src = MLPEmbedding(D, name="token_emb", dtype=dt)(vocab_flat)
         x_pt = token_emb_src[map_data.token_idx]
 
-        type_emb = nn.Embed(17, D, embedding_init=EMB_INIT, name="type_pt_emb")(map_data.pt_type)
-        pl_emb = nn.Embed(4, D, embedding_init=EMB_INIT, name="polygon_type_emb")(map_data.pl_type)
-        light_emb = nn.Embed(4, D, embedding_init=EMB_INIT, name="light_pl_emb")(map_data.light_type)
+        type_emb = nn.Embed(17, D, embedding_init=EMB_INIT, name="type_pt_emb",
+                            dtype=dt)(map_data.pt_type)
+        pl_emb = nn.Embed(4, D, embedding_init=EMB_INIT, name="polygon_type_emb",
+                          dtype=dt)(map_data.pl_type)
+        light_emb = nn.Embed(4, D, embedding_init=EMB_INIT, name="light_pl_emb",
+                             dtype=dt)(map_data.light_type)
         x_pt = x_pt + type_emb + pl_emb + light_emb
 
         # neighbor table (radius graph equivalent), masked to visible tokens
@@ -64,7 +70,8 @@ class MapEncoder(nn.Module):
             angle_between_2d_vectors(orient_vec[:, None], rel_pos),
             rel_orient,
         ], axis=-1)
-        r = FourierEmbedding(3, D, cfg.num_freq_bands, name="r_pt2pt_emb")(r)
+        r = FourierEmbedding(3, D, cfg.num_freq_bands, name="r_pt2pt_emb",
+                             dtype=dt)(r)
 
         # gathered-neighbor attention: per query, Q=1 against its k keys
         att_cls = (nn.remat(DenseAttention, static_argnums=(5,))
@@ -74,6 +81,7 @@ class MapEncoder(nn.Module):
             x_pt = att_cls(
                 D, cfg.num_heads, cfg.head_dim, cfg.dropout,
                 bipartite=False, has_pos_emb=True, name=f"pt2pt_{i}",
+                use_pallas=cfg.use_pallas_attention, dtype=dt,
             )(x_pt[:, None, :], x_src, r[:, None, :, :], nbr_valid[:, None, :],
               deterministic)[:, 0, :]
 

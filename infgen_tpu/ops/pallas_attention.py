@@ -32,12 +32,17 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _kernel(q_ref, k_ref, v_ref, r_ref, wk_ref, wv_ref, mask_ref, sel_ref,
-            out_ref, m_ref, den_ref, acc_ref, *, num_heads, head_dim,
+def _kernel(q_ref, k_ref, v_ref, r_ref, wk_ref, wv_ref, mask_ref, drop_ref,
+            sel_ref, out_ref, m_ref, den_ref, acc_ref, *, num_heads, head_dim,
             num_k_tiles):
     """Blocks per (b, j): q [1, N, HD]; k/v [1, Tk, HD]; r [1, N, Tk, Dr];
-    mask [1, N, Tk]; sel [HD, H]; out [1, N, HD].
-    Scratch: m/den [N, H], acc [N, HD] — carried across the j grid axis."""
+    mask [1, N, Tk]; drop [1, N, Tk] post-softmax dropout multiplier
+    (1/(1-rate) kept, 0 dropped, all-ones at eval); sel [HD, H];
+    out [1, N, HD].
+    Scratch: m/den [N, H], acc [N, HD] — carried across the j grid axis.
+    Dropout applies to normalized weights (torch semantics: the softmax
+    denominator is undropped), so den accumulates p while acc accumulates
+    p * drop."""
     H, d = num_heads, head_dim
     HD = H * d
     N = q_ref.shape[1]
@@ -79,8 +84,9 @@ def _kernel(q_ref, k_ref, v_ref, r_ref, wk_ref, wv_ref, mask_ref, sel_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).reshape(N, Tk, HD)
     v_eff = vs.reshape(1, Tk, HD) + vr
+    p_acc = p * drop_ref[0].astype(jnp.float32)[:, :, None]
     p_full = jax.lax.dot_general(
-        p.reshape(N * Tk, H), sel_ref[:],
+        p_acc.reshape(N * Tk, H), sel_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).reshape(N, Tk, HD)
     corr_full = jax.lax.dot_general(
@@ -103,17 +109,24 @@ def _kernel(q_ref, k_ref, v_ref, r_ref, wk_ref, wv_ref, mask_ref, sel_ref,
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
-                       interpret: bool = False):
+                       drop=None, interpret=None):
     """Fused masked attention with r-biased K/V.
 
     q/k/v: [B, N, H*d]; r: [B, N, N, Dr]; w_kr/w_vr: [Dr, H*d];
     mask: [B, N, N] bool. Returns [B, N, H*d] == softmax(q(k+rWk)^T)(v+rWv),
     with fully-masked queries producing zeros (DenseAttention semantics).
+    drop: optional [B, N, N] post-softmax dropout multiplier (0 dropped,
+    1/(1-rate) kept) — torch attention-dropout semantics.
     """
     B, N, HD = q.shape
     H = num_heads
     d = HD // H
     Dr = r.shape[-1]
+    if interpret is None:
+        # Mosaic only lowers on TPU; interpret mode keeps CPU tests runnable
+        interpret = jax.default_backend() != "tpu"
+    if drop is None:
+        drop = jnp.ones((B, N, N), jnp.float32)
 
     # lane-aligned key tiles (128) and modest query tiles keep the r block
     # within VMEM with double buffering
@@ -129,6 +142,7 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
     vp = jnp.pad(v, ((0, 0), (0, Nk - N), (0, 0)))
     rp = jnp.pad(r, ((0, 0), (0, Np - N), (0, Nk - N), (0, 0)))
     mp = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Np - N), (0, Nk - N)))
+    dp = jnp.pad(drop.astype(jnp.float32), ((0, 0), (0, Np - N), (0, Nk - N)))
 
     kernel = functools.partial(_kernel, num_heads=H, head_dim=d,
                                num_k_tiles=num_k_tiles)
@@ -146,6 +160,7 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
             pl.BlockSpec((Dr, HD), lambda b, qi, j: (0, 0)),
             pl.BlockSpec((Dr, HD), lambda b, qi, j: (0, 0)),
             pl.BlockSpec((1, q_tile, k_tile), lambda b, qi, j: (b, qi, j)),
+            pl.BlockSpec((1, q_tile, k_tile), lambda b, qi, j: (b, qi, j)),
             pl.BlockSpec((HD, H), lambda b, qi, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, q_tile, HD), lambda b, qi, j: (b, qi, 0)),
@@ -156,11 +171,55 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
             pltpu.VMEM((q_tile, HD), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, rp, w_kr, w_vr, mp, head_sel)
+    )(qp, kp, vp, rp, w_kr, w_vr, mp, dp, head_sel)
     return out[:, :N]
 
 
-def r_biased_attention_reference(q, k, v, r, w_kr, w_vr, mask, num_heads: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 9))
+def r_biased_attention_trainable(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
+                                 drop=None, interpret=None):
+    """`r_biased_attention` with a custom VJP so training can run through the
+    fused kernel.
+
+    Forward: the Pallas kernel (bias tensors never touch HBM). Backward:
+    recompute-based (flash-style) — nothing is saved from the fused forward
+    except the raw inputs; the backward re-derives the attention weights via
+    the XLA formulation and differentiates it. Activation memory matches the
+    `nn.remat` policy the model already uses; gradients are exactly those of
+    the reference math (verified in tests/test_pallas_attention.py).
+    """
+    return r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads, drop,
+                              interpret)
+
+
+def _rba_fwd(q, k, v, r, w_kr, w_vr, mask, num_heads, drop=None,
+             interpret=None):
+    out = r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads, drop,
+                             interpret)
+    return out, (q, k, v, r, w_kr, w_vr, mask, drop)
+
+
+def _rba_bwd(num_heads, interpret, res, g):
+    import numpy as np
+
+    q, k, v, r, w_kr, w_vr, mask, drop = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, r_, wk_, wv_: r_biased_attention_reference(
+            q_, k_, v_, r_, wk_, wv_, mask, num_heads, drop),
+        q, k, v, r, w_kr, w_vr)
+    dq, dk, dv, dr, dwk, dwv = vjp(g)
+    # bool mask cotangent is float0; drop is not differentiated (its
+    # cotangent is only needed structurally)
+    dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    ddrop = None if drop is None else jnp.zeros_like(drop)
+    return dq, dk, dv, dr, dwk, dwv, dmask, ddrop
+
+
+r_biased_attention_trainable.defvjp(_rba_fwd, _rba_bwd)
+
+
+def r_biased_attention_reference(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
+                                 drop=None):
     """Plain-XLA reference implementation (DenseAttention core math)."""
     B, N, HD = q.shape
     H = num_heads
@@ -173,10 +232,13 @@ def r_biased_attention_reference(q, k, v, r, w_kr, w_vr, mask, num_heads: int):
     sim = jnp.einsum("bqhd,bkhd->bqkh", qh, kh)
     sim = sim + jnp.einsum("bqhd,bqkhd->bqkh", qh, kr)
     sim = sim * (d ** -0.5)
+    mask = jnp.asarray(mask)
     sim = jnp.where(mask[..., None], sim, -jnp.inf)
     p = jax.nn.softmax(sim, axis=2)
-    p = jnp.where(mask.any(-1)[..., None, None], p, 0.0)
+    p = jnp.where(jnp.any(mask, -1)[..., None, None], p, 0.0)
     p = jnp.where(mask[..., None], p, 0.0)
+    if drop is not None:
+        p = p * drop[..., None]
     out = jnp.einsum("bqkh,bkhd->bqhd", p, vh)
     out = out + jnp.einsum("bqkh,bqkhd->bqhd", p, vr)
     return out.reshape(B, N, HD)

@@ -17,6 +17,7 @@ from infgen_tpu.train.targets import roll_targets, seed_targets, token_state_eva
 def masked_ce(logits, labels, mask, label_smoothing=0.0, class_weights=None):
     """CrossEntropyLoss over masked entries; weighted mean like torch
     (sum(w_y * ce) / sum(w_y))."""
+    logits = logits.astype(jnp.float32)  # loss math stays fp32 under bf16
     num_classes = logits.shape[-1]
     labels_c = jnp.clip(labels, 0, num_classes - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -33,6 +34,8 @@ def masked_ce(logits, labels, mask, label_smoothing=0.0, class_weights=None):
 
 
 def masked_mse(pred, target, mask):
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     w = mask.astype(pred.dtype)
     if pred.ndim > mask.ndim:
         w = w[..., None]
@@ -44,6 +47,8 @@ def masked_mse(pred, target, mask):
 
 def masked_bce_logits(logits, target, mask, pos_weight=1.0):
     """BCEWithLogitsLoss with pos_weight, masked mean over elements."""
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     logp = jax.nn.log_sigmoid(logits)
     lognp = jax.nn.log_sigmoid(-logits)
     per = -(pos_weight * target * logp + (1.0 - target) * lognp)
