@@ -3,22 +3,28 @@
 
 Prints ONE JSON line:
   {"metric": "agent_steps_per_sec", "value": N, "unit": "agent*10Hz-steps/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...}
 
 Workload: the flagship long-term config (hidden 128, 6 agent layers, 2048
 motion vocab, agent insertion enabled), 8 vmapped 30 s closed-loop WOMD-scale
 rollouts (300 future 10 Hz steps = 60 token steps each), 128 padded agent
-slots — matching configs/ours_long_term.yaml:74 and BASELINE.md. Throughput
-is mildly data-dependent: the insertion while_loop exits early once the seed
-head stops proposing agents.
+slots — matching configs/ours_long_term.yaml:74 and BASELINE.md. A second
+number (`value_forced_insert`) runs with every insertion iteration forced to
+propose an agent (the reference's DEBUG mode, agent_decoder.py:1888-1889),
+bounding the trained-model cost — the default seed head is untrained and
+stops inserting early, which flatters throughput.
 
-Baseline: the reference publishes no numbers (BASELINE.md). We use an
-estimated reference GPU throughput of 1,280 agent-steps/s: the reference
-python loop rebuilds radius graphs + runs 18 attention layers per token step
-and is observed/reported to take ~0.5 s per token step at ~128 agents
-(agent_decoder.py:1740-2301 does ~36 edge builds and 10 insertion passes per
-step); 128 agents * 300 steps / (60 * 0.5 s) = 1,280. Replace with a measured
-number when reference hardware is available.
+Baseline: the reference publishes no numbers (BASELINE.md). The reference IS
+measured in-container by scripts/bench_reference.py (unmodified, torch on
+this host's CPU; BASELINE_MEASURED.json — 66.2 agent-steps/s default mode,
+with the repo at 431.5 on the same core = 6.5x same-hardware). Because one
+CPU core is far below the reference's native GPU, `vs_baseline` divides by
+the LARGER of that measurement and a documented GPU-class estimate
+(1,280 agent-steps/s: ~0.5 s/token step at ~128 agents) — conservative by
+construction.
+
+Env knobs for A/B runs: INFGEN_BENCH_PALLAS=1 (fused attention kernel),
+INFGEN_BENCH_BF16=1 (bf16 compute policy).
 """
 
 import json
@@ -44,11 +50,55 @@ from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
 from infgen_tpu.tokenizers.motion_tokenizer import MotionTokenizer
 from infgen_tpu.tokenizers.vocab import load_map_vocab
 
-REFERENCE_AGENT_STEPS_PER_SEC = 1280.0  # estimated; see module docstring
+REFERENCE_GPU_ESTIMATE = 1280.0  # fallback only; see module docstring
+
+
+def _measured_baseline():
+    """Conservative denominator: the LARGER of the measured in-container
+    reference throughput (1 CPU core — far below its native GPU) and the
+    documented GPU-class estimate, so vs_baseline never benefits from the
+    reference being handicapped to CPU here."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    measured = None
+    if os.path.exists(path):
+        with open(path) as f:
+            d = json.load(f)
+        if "insert" in d:
+            measured = float(d["insert"]["agent_steps_per_sec"])
+    if measured is not None and measured > REFERENCE_GPU_ESTIMATE:
+        return measured, "measured_cpu"
+    return REFERENCE_GPU_ESTIMATE, ("estimated_gpu (measured CPU ref: "
+                                    f"{measured})" if measured else
+                                    "estimated_gpu")
+
+
+def _measure(batched, batch, inputs, B, hist_steps, n_rep=6, seed0=10):
+    # sustained measurement: dispatch n_rep batched rollouts back-to-back
+    # (the device queue serializes them) and drain once at the end, so
+    # per-fetch relay latency is amortized out of the per-rollout number
+    out = batched(batch, inputs, jax.random.split(jax.random.PRNGKey(0), B))
+    float(out["pred_traj"].sum())  # force real completion through the relay
+    t0 = time.perf_counter()
+    outs = [batched(batch, inputs,
+                    jax.random.split(jax.random.PRNGKey(seed0 + i), B))
+            for i in range(n_rep)]
+    for o in outs:
+        float(o["pred_traj"].sum())
+    dt = (time.perf_counter() - t0) / n_rep
+    n_agents = int(np.asarray(out["slot_active"]).sum())
+    # active agent-steps counted like the reference: non-invalid 10 Hz
+    # states over the future window (scripts/bench_reference.py)
+    asteps = int((np.asarray(out["pred_state"])[:, :, hist_steps:] != 0).sum())
+    return n_agents, asteps, dt
 
 
 def main():
     cfg = Config()  # flagship ours_long_term equivalent
+    if os.environ.get("INFGEN_BENCH_PALLAS"):
+        cfg = cfg.replace(use_pallas_attention=True)
+    if os.environ.get("INFGEN_BENCH_BF16"):
+        cfg = cfg.replace(compute_dtype="bfloat16")
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()
@@ -74,35 +124,33 @@ def main():
         jax.random.PRNGKey(2), deterministic=True)
     params = variables["params"]
 
+    Hs = cfg.num_historical_steps
     rollout = make_rollout_fn(model, cfg, attr, mt, map_vocab, jit=False)
     batched = jax.jit(jax.vmap(lambda s, i, r: rollout(params, s, i, r)))
+    n_agents, asteps, dt = _measure(batched, batch, inputs, B, Hs)
+    value = asteps / dt
 
-    # compile + force real completion (block_until_ready can be a no-op on
-    # remote-relay backends; pulling a scalar to host is reliable)
-    out = batched(batch, inputs, rngs)
-    float(out["pred_traj"].sum())
+    # forced-insertion variant (reference DEBUG): every insertion iteration
+    # proposes an agent, bounding trained-model insertion cost
+    rollout_f = make_rollout_fn(model, cfg, attr, mt, map_vocab, jit=False,
+                                force_insert=True)
+    batched_f = jax.jit(jax.vmap(lambda s, i, r: rollout_f(params, s, i, r)))
+    n_agents_f, asteps_f, dt_f = _measure(batched_f, batch, inputs, B, Hs,
+                                          n_rep=3)
+    value_f = asteps_f / dt_f
 
-    # sustained measurement: dispatch n_rep batched rollouts back-to-back
-    # (the device queue serializes them) and drain once at the end, so
-    # per-fetch relay latency is amortized out of the per-rollout number
-    n_rep = 6
-    t0 = time.perf_counter()
-    outs = [batched(batch, inputs,
-                    jax.random.split(jax.random.PRNGKey(10 + i), B))
-            for i in range(n_rep)]
-    for o in outs:
-        float(o["pred_traj"].sum())
-    dt = (time.perf_counter() - t0) / n_rep
-
-    n_agents = int(np.asarray(out["slot_active"]).sum())
-    agent_steps = n_agents * cfg.num_recurrent_steps_val
-    value = agent_steps / dt
-
+    baseline, baseline_kind = _measured_baseline()
     print(json.dumps({
         "metric": "agent_steps_per_sec",
         "value": round(value, 1),
         "unit": "agent*10Hz-steps/s",
-        "vs_baseline": round(value / REFERENCE_AGENT_STEPS_PER_SEC, 2),
+        "vs_baseline": round(value / baseline, 2),
+        "baseline_kind": baseline_kind,
+        "baseline_agent_steps_per_sec": baseline,
+        "value_forced_insert": round(value_f, 1),
+        "agents_final_forced": n_agents_f,
+        "compute_dtype": cfg.compute_dtype,
+        "pallas": bool(cfg.use_pallas_attention),
     }))
 
 

@@ -104,7 +104,10 @@ def bench_repo_cpu(cfg, scenario, inputs, steps):
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_rep
     n_agents = int(np.asarray(out["slot_active"]).sum())
-    asteps = n_agents * steps
+    # active agent-steps counted exactly like the reference modes above:
+    # non-invalid 10 Hz states over the future window
+    asteps = int((np.asarray(out["pred_state"])[:, cfg.num_historical_steps:]
+                  != 0).sum())
     return dict(mode="repo_cpu", wall_s=round(dt, 2), agents_final=n_agents,
                 active_agent_steps=asteps,
                 agent_steps_per_sec=round(asteps / dt, 1))
