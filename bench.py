@@ -94,11 +94,19 @@ def _measure(batched, batch, inputs, B, hist_steps, n_rep=6, seed0=10):
 
 
 def main():
-    cfg = Config()  # flagship ours_long_term equivalent
+    # the actual flagship config (includes the bf16 compute policy)
+    from infgen_tpu.config import load_config
+    yaml_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "configs", "ours_long_term.yaml")
+    cfg = load_config(yaml_path) if os.path.exists(yaml_path) else Config()
     if os.environ.get("INFGEN_BENCH_PALLAS"):
         cfg = cfg.replace(use_pallas_attention=True)
     if os.environ.get("INFGEN_BENCH_BF16"):
         cfg = cfg.replace(compute_dtype="bfloat16")
+    if os.environ.get("INFGEN_BENCH_FP32"):
+        cfg = cfg.replace(compute_dtype="float32")
+    if os.environ.get("INFGEN_BENCH_FUSED"):
+        cfg = cfg.replace(use_fused_block=True)
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()
@@ -106,7 +114,7 @@ def main():
 
     # batched rollout: the reference cannot batch inference (bs=1 only,
     # agent_decoder.py:1647); we vmap B scenarios on one chip.
-    B = 8
+    B = int(os.environ.get("INFGEN_BENCH_B", "8"))
     from infgen_tpu.train.train_step import stack_scenarios
     scens = [make_synthetic_scenario(cfg, seed=s, num_agents=64)
              for s in range(B)]
@@ -139,6 +147,11 @@ def main():
                                           n_rep=3)
     value_f = asteps_f / dt_f
 
+    # single-scenario full-rollout latency (device-queued, sustained)
+    one_sc = jax.tree.map(lambda x: x[:1], batch)
+    one_in = jax.tree.map(lambda x: x[:1], inputs)
+    _, _, dt_one = _measure(batched, one_sc, one_in, 1, Hs, n_rep=8)
+
     baseline, baseline_kind = _measured_baseline()
     print(json.dumps({
         "metric": "agent_steps_per_sec",
@@ -149,6 +162,7 @@ def main():
         "baseline_agent_steps_per_sec": baseline,
         "value_forced_insert": round(value_f, 1),
         "agents_final_forced": n_agents_f,
+        "single_rollout_ms": round(dt_one * 1e3, 1),
         "compute_dtype": cfg.compute_dtype,
         "pallas": bool(cfg.use_pallas_attention),
     }))

@@ -135,6 +135,8 @@ class Config:
 
     # --- TPU-specific: parallelism / precision ---
     use_pallas_attention: bool = False  # fused kernel on eligible eval paths
+    # whole-layer fused kernel on the rollout column passes (ops/fused_block)
+    use_fused_block: bool = False
     remat_attention: bool = True  # rematerialize attention activations
     # data-axis size for the default Trainer mesh; 0 = all local devices
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 0})

@@ -336,6 +336,24 @@ class AgentDecoder(nn.Module):
         r_pl = self.r_pt2a_emb(pl_r_raw)
         x = x_c
         new_cols = []
+        if self.cfg.use_fused_block and not self.is_initializing():
+            # whole-layer fused kernels: 3 dispatches per layer instead of
+            # ~75 XLA ops (ops/fused_block.py); identical math + params
+            from infgen_tpu.ops.fused_block import fused_attention_block
+
+            H = self.cfg.num_heads
+            for i in range(self.cfg.num_agent_layers):
+                x = fused_attention_block(
+                    self.t_attn_layers[i].variables["params"],
+                    x, key_stack[i], r_t, t_mask, H)
+                x = fused_attention_block(
+                    self.pt2a_attn_layers[i].variables["params"],
+                    x, pl_keys, r_pl, pl_mask, H, bipartite=True)
+                x = fused_attention_block(
+                    self.a2a_attn_layers[i].variables["params"],
+                    x, None, r_aa, a2a_mask, H)
+                new_cols.append(x)
+            return jnp.stack(new_cols), x
         for i in range(self.cfg.num_agent_layers):
             x = self.t_attn_layers[i](
                 x[:, None, :], key_stack[i], r_t[:, None, :, :],
@@ -393,6 +411,18 @@ class AgentDecoder(nn.Module):
         x = x_col
         pl_m = pl_mask & query_onehot[:, None]
         aa_m = a2a_mask & query_onehot[:, None]
+        if self.cfg.use_fused_block and not self.is_initializing():
+            from infgen_tpu.ops.fused_block import fused_attention_block
+
+            H = self.cfg.num_heads
+            for i in range(self.cfg.num_seed_layers):
+                x = fused_attention_block(
+                    self.pt2a_attn_layers[i].variables["params"],
+                    x, x_pt[pl_keys], r_pl, pl_m, H, bipartite=True)
+                x = fused_attention_block(
+                    self.a2a_attn_layers[i].variables["params"],
+                    x, x[a2a_idx], r_aa, aa_m, H)
+            return x
         for i in range(self.cfg.num_seed_layers):
             keys = x_pt[pl_keys]
             x = self.pt2a_attn_layers[i](

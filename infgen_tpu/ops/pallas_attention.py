@@ -112,13 +112,16 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
                        drop=None, interpret=None):
     """Fused masked attention with r-biased K/V.
 
-    q/k/v: [B, N, H*d]; r: [B, N, N, Dr]; w_kr/w_vr: [Dr, H*d];
-    mask: [B, N, N] bool. Returns [B, N, H*d] == softmax(q(k+rWk)^T)(v+rWv),
-    with fully-masked queries producing zeros (DenseAttention semantics).
-    drop: optional [B, N, N] post-softmax dropout multiplier (0 dropped,
-    1/(1-rate) kept) — torch attention-dropout semantics.
+    q: [B, Q, H*d]; k/v: [B, K, H*d]; r: [B, Q, K, Dr]; w_kr/w_vr: [Dr, H*d];
+    mask: [B, Q, K] bool (Q == K for self-attention; bipartite calls like the
+    training seed stack have Q != K). Returns [B, Q, H*d] ==
+    softmax(q(k+rWk)^T)(v+rWv), with fully-masked queries producing zeros
+    (DenseAttention semantics). drop: optional [B, Q, K] post-softmax dropout
+    multiplier (0 dropped, 1/(1-rate) kept) — torch attention-dropout
+    semantics.
     """
-    B, N, HD = q.shape
+    B, Q, HD = q.shape
+    K = k.shape[1]
     H = num_heads
     d = HD // H
     Dr = r.shape[-1]
@@ -126,23 +129,23 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
         # Mosaic only lowers on TPU; interpret mode keeps CPU tests runnable
         interpret = jax.default_backend() != "tpu"
     if drop is None:
-        drop = jnp.ones((B, N, N), jnp.float32)
+        drop = jnp.ones((B, Q, K), jnp.float32)
 
     # lane-aligned key tiles (128) and modest query tiles keep the r block
     # within VMEM with double buffering
     k_tile = 128
     q_tile = 48
-    Nk = _round_up(N, k_tile)
-    Np = _round_up(N, q_tile)
+    Nk = _round_up(K, k_tile)
+    Np = _round_up(Q, q_tile)
     num_k_tiles = Nk // k_tile
     num_q_tiles = Np // q_tile
 
-    qp = jnp.pad(q, ((0, 0), (0, Np - N), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, Nk - N), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, Nk - N), (0, 0)))
-    rp = jnp.pad(r, ((0, 0), (0, Np - N), (0, Nk - N), (0, 0)))
-    mp = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Np - N), (0, Nk - N)))
-    dp = jnp.pad(drop.astype(jnp.float32), ((0, 0), (0, Np - N), (0, Nk - N)))
+    qp = jnp.pad(q, ((0, 0), (0, Np - Q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Nk - K), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Nk - K), (0, 0)))
+    rp = jnp.pad(r, ((0, 0), (0, Np - Q), (0, Nk - K), (0, 0)))
+    mp = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Np - Q), (0, Nk - K)))
+    dp = jnp.pad(drop.astype(jnp.float32), ((0, 0), (0, Np - Q), (0, Nk - K)))
 
     kernel = functools.partial(_kernel, num_heads=H, head_dim=d,
                                num_k_tiles=num_k_tiles)
@@ -172,7 +175,7 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
         ],
         interpret=interpret,
     )(qp, kp, vp, rp, w_kr, w_vr, mp, dp, head_sel)
-    return out[:, :N]
+    return out[:, :Q]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 9))
@@ -222,13 +225,14 @@ def r_biased_attention_reference(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
                                  drop=None):
     """Plain-XLA reference implementation (DenseAttention core math)."""
     B, N, HD = q.shape
+    K = k.shape[1]
     H = num_heads
     d = HD // H
     qh = q.reshape(B, N, H, d)
-    kh = k.reshape(B, N, H, d)
-    vh = v.reshape(B, N, H, d)
-    kr = (r @ w_kr).reshape(B, N, N, H, d)
-    vr = (r @ w_vr).reshape(B, N, N, H, d)
+    kh = k.reshape(B, K, H, d)
+    vh = v.reshape(B, K, H, d)
+    kr = (r @ w_kr).reshape(B, N, K, H, d)
+    vr = (r @ w_vr).reshape(B, N, K, H, d)
     sim = jnp.einsum("bqhd,bkhd->bqkh", qh, kh)
     sim = sim + jnp.einsum("bqhd,bqkhd->bqkh", qh, kr)
     sim = sim * (d ** -0.5)

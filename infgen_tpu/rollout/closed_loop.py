@@ -361,9 +361,11 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
         seed_vec = _seed_vector(params, tables)
 
-        def iter_body(loop):
-            carry, stop, n_new, probs, p = loop
-            rng, r1, r2 = jax.random.split(carry.rng, 3)
+        def eval_seed(carry):
+            """One seed-head evaluation: the reference's per-iteration seed
+            stack + heads + grid-cell sampling (agent_decoder.py:1833-1905).
+            Returns the insertion proposal; consumes one rng draw."""
+            rng, r1 = jax.random.split(carry.rng)
             carry = carry._replace(rng=rng)
 
             pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
@@ -385,7 +387,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 wrap_angle(head_c - ego_head),
             ], axis=-1)
 
-            agent_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
+            agent_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1,
+                                                     False)
             seed_feat = apply_dec(params, AgentDecoder.seed_column,
                                   agent_col, seed_vec, occ_vec, pl_mask,
                                   pl_r_raw, a2sa_r_raw, a2sa_mask, x_pt)
@@ -401,7 +404,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             shape_pred = heads["shape"]
 
             if cfg.use_grid_token:
-                g_idx = sample_from_topk(r1, jax.nn.softmax(heads["pos_logits"]),
+                g_idx = sample_from_topk(r1,
+                                         jax.nn.softmax(heads["pos_logits"]),
                                          cfg.insert_beam_size)
                 next_pos = _decode_pos(g_idx, ego_pos, ego_head)
                 occupied = occ_vec[g_idx]
@@ -409,26 +413,41 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 g_idx = jnp.int32(-1)
                 next_pos = heads["pos_xy"] * cfg.pl2seed_radius + ego_pos
                 occupied = jnp.bool_(False)
+            # stop when the head declines or no free slot remains
+            stop = ~want_enter | carry.slot_active.all()
+            return carry, dict(enter_prob=enter_prob, type_idx=type_idx,
+                               shape=shape_pred, g_idx=g_idx,
+                               next_pos=next_pos, occupied=occupied,
+                               stop=stop)
+
+        def iter_body(loop):
+            """Insert the current proposal (if its cell is free), then
+            evaluate the next one. The expensive insert + heading/offset
+            refine machinery only executes inside this loop — a step where
+            the seed head immediately declines pays exactly one seed
+            evaluation and zero insert/refine passes (the reference breaks
+            before refine the same way, agent_decoder.py:1914)."""
+            carry, prop, n_new, probs, p = loop
 
             free = ~carry.slot_active
-            has_free = free.any()
             slot = jnp.argmax(free)
-
-            stop_now = stop | ~want_enter | ~has_free
-            do_insert = ~stop_now & ~occupied
+            do_insert = ~prop["occupied"]
 
             # masked row writes instead of lax.cond: under a vmapped
             # (batched) rollout, cond becomes a select over the ENTIRE
             # ~50MB carry per iteration — catastrophic HBM traffic
-            carry = _do_insert(params, carry, c, slot, do_insert, next_pos,
-                               g_idx, type_idx, shape_pred, ego_pos, ego_head,
-                               x_pt, pt_pos, pt_orient, pt_mask, tables, av)
+            carry = _do_insert(params, carry, c, slot, do_insert,
+                               prop["next_pos"], prop["g_idx"],
+                               prop["type_idx"], prop["shape"], ego_pos,
+                               ego_head, x_pt, pt_pos, pt_orient, pt_mask,
+                               tables, av)
             # reference records the enter prob at index num_new_agents after a
             # successful insert (agent_decoder.py:2105)
             probs = probs.at[n_new + 1].set(
-                jnp.where(do_insert, enter_prob, probs[n_new + 1]))
+                jnp.where(do_insert, prop["enter_prob"], probs[n_new + 1]))
             n_new = n_new + do_insert.astype(jnp.int32)
-            return carry, stop_now, n_new, probs, p + 1
+            carry, prop = eval_seed(carry)
+            return carry, prop, n_new, probs, p + 1
 
         # while_loop (not fori): exits as soon as the seed head says stop.
         # Under a vmapped rollout JAX keeps iterating until every batch
@@ -440,10 +459,11 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # bounded loop is required for a compiled fixed-shape program; the
         # cost is at most fewer insertions on a crowded step.
         probs0 = jnp.zeros((cfg.insert_limit + 1,))
+        carry, prop0 = eval_seed(carry)
         carry, _, n_new, probs, _ = jax.lax.while_loop(
-            lambda loop: (loop[4] < cfg.insert_limit) & ~loop[1],
+            lambda loop: (loop[4] < cfg.insert_limit) & ~loop[1]["stop"],
             iter_body,
-            (carry, jnp.bool_(False), jnp.int32(0), probs0, jnp.int32(0)))
+            (carry, prop0, jnp.int32(0), probs0, jnp.int32(0)))
         carry = carry._replace(n_inserted=carry.n_inserted + n_new)
         return carry, n_new, probs
 

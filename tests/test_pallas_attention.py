@@ -112,3 +112,22 @@ def test_dense_attention_pallas_path_matches_xla():
                         jax.tree_util.tree_leaves(gp)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=5e-3, rtol=1e-3)
+
+
+def test_kernel_rectangular_bipartite():
+    """Q != K (training seed stack: S seed queries vs A agent keys)."""
+    B, Q, K, H, d, Dr = 3, 10, 130, 4, 16, 32
+    rng = np.random.default_rng(13)
+    q = rng.normal(size=(B, Q, H * d)).astype(np.float32)
+    k = rng.normal(size=(B, K, H * d)).astype(np.float32)
+    v = rng.normal(size=(B, K, H * d)).astype(np.float32)
+    r = rng.normal(size=(B, Q, K, Dr)).astype(np.float32)
+    wk, wv = ((rng.normal(size=(Dr, H * d)) * 0.1).astype(np.float32)
+              for _ in range(2))
+    mask = rng.uniform(size=(B, Q, K)) < 0.5
+    mask[0, 2] = False
+
+    ref = np.asarray(r_biased_attention_reference(q, k, v, r, wk, wv, mask, H))
+    out = np.asarray(r_biased_attention(q, k, v, r, wk, wv, mask, H,
+                                        interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-5)
