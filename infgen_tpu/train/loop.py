@@ -239,6 +239,30 @@ def check_inputs(cfg: Config, dataset, num_scenarios: int = 8,
     overlap = None
     for i in range(min(num_scenarios, len(dataset))):
         inputs = build(dataset[i], jax.random.PRNGKey(i))
+        if i == 0 and os.environ.get("PLOT_EDGE"):
+            # edge-map debug plots (reference PLOT_EDGE env mode,
+            # agent_decoder.py:636,672): dense masks instead of edge lists
+            from infgen_tpu.model import edges as E
+            from infgen_tpu.utils.visualization import plot_attention_masks
+
+            tok = inputs.tokens
+            _, hv = E.build_motion_vectors(tok.token_pos, tok.token_heading,
+                                           tok.state_idx)
+            interact = (tok.raw_token_valid |
+                        (tok.state_idx == 2)) & inputs.slot_mask[:, None]
+            a2a = E.build_a2a_edges(tok.token_pos, tok.token_heading,
+                                    tok.state_idx, hv, interact,
+                                    cfg.a2a_radius)
+            hist = E.training_hist_mask(tok.raw_token_valid, tok.state_idx,
+                                        None) & inputs.slot_mask[:, None]
+            temporal = E.build_temporal_edges(
+                tok.token_pos, tok.token_heading, tok.state_idx, hv, hist,
+                cfg.time_span // cfg.shift)
+            plot_attention_masks(
+                "check_inputs",
+                {"a2a": np.asarray(a2a.mask),
+                 "temporal": np.asarray(temporal.mask)},
+                os.environ.get("PLOT_EDGE_DIR", "runs/edge_maps"))
         sa = state_accuracy(inputs.tokens.state_idx)
         for k in totals:
             totals[k] += int(sa[k])

@@ -172,3 +172,36 @@ def plot_prob_seed(scenario_id: str, probs, save_path: str, prefix: str = ""):
     fig.savefig(out, dpi=100, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+@safe_run
+def plot_attention_masks(scenario_id: str, masks, save_path: str,
+                         prefix: str = "", max_steps: int = 4):
+    """Dense-mask analog of the reference's edge-map debug plots
+    (plot_interact_edge / PLOT_EDGE env mode, visualization.py:123-298):
+    each attention mask renders as a heatmap (queries x keys), per step for
+    stepwise masks. `masks`: dict name -> bool array [Q, K] or [T, Q, K]."""
+    import numpy as np
+
+    plt = _mpl()
+    import os
+
+    os.makedirs(save_path, exist_ok=True)
+    for name, m in masks.items():
+        m = np.asarray(m)
+        if m.ndim == 2:
+            m = m[None]
+        steps = np.linspace(0, m.shape[0] - 1,
+                            min(max_steps, m.shape[0])).astype(int)
+        fig, axes = plt.subplots(1, len(steps),
+                                 figsize=(3 * len(steps), 3), squeeze=False)
+        for ax, t in zip(axes[0], steps):
+            ax.imshow(m[t], cmap="Blues", aspect="auto",
+                      interpolation="nearest")
+            ax.set_title(f"{name} t={t}", fontsize=8)
+            ax.set_xlabel("key")
+            ax.set_ylabel("query")
+        fig.tight_layout()
+        fig.savefig(os.path.join(
+            save_path, f"{prefix}{scenario_id}_{name}_edge_map.png"), dpi=100)
+        plt.close(fig)

@@ -186,3 +186,27 @@ def test_native_tfrecord_index(tmp_path):
             assert f.read(ln) == want
     # python reader agrees
     assert list(iter_tfrecord(str(path))) == payloads
+
+
+def test_cached_map_tokens_match_on_the_fly():
+    """Offline map-token caching (scenario_to_pkl_dict map_tokenizer arg)
+    produces exactly the arrays the loader would compute per access."""
+    import numpy as np
+
+    from infgen_tpu.data.waymo import tokenize_pkl_map
+
+    raw = make_scenario_bytes()
+    mt = MapTokenizer()
+    d = scenario_to_pkl_dict(raw, mt)
+    assert "map_token" in d
+    fresh = tokenize_pkl_map(d, mt)
+    for k in fresh:
+        np.testing.assert_array_equal(np.asarray(d["map_token"][k]),
+                                      np.asarray(fresh[k]), err_msg=k)
+
+    # and the loader consumes the cache path end-to-end
+    from infgen_tpu.config import Config
+    from infgen_tpu.data.waymo import pkl_to_scenario
+    cfg = Config(max_agents=8, max_map_tokens=64)
+    scen = pkl_to_scenario(d, cfg, mt, training=False)
+    assert scen.map.mask.sum() > 0
