@@ -366,17 +366,23 @@ class AgentDecoder(nn.Module):
             new_cols.append(x)
         return jnp.stack(new_cols), x
 
-    def seed_column(self, agent_col, seed_vec, occ_vec, pl_keys_mask, pl_r_raw,
+    def embed_pl2sa_r(self, pl_r_raw):
+        """Map->seed relative-geometry embedding [P, D]; loop-invariant during
+        one step's insertion iterations, so the rollout hoists it out of the
+        while_loop (the reference recomputes per iteration)."""
+        return self.r_pt2sa_emb(pl_r_raw)
+
+    def seed_column(self, agent_col, seed_vec, occ_vec, pl_keys_mask, r_pl,
                     a2sa_r_raw, a2sa_mask, x_pt):
         """Insertion seed stack for one column (agent_decoder.py:1861-1871).
 
         agent_col [A, D]; seed_vec [D]; occ_vec [G] binary occupancy;
-        pl_keys_mask [P]; pl_r_raw [P, 3]; a2sa_r_raw [A, 3]; a2sa_mask [A].
+        pl_keys_mask [P]; r_pl [P, D] pre-embedded via embed_pl2sa_r;
+        a2sa_r_raw [A, 3]; a2sa_mask [A].
         Agent rows ride through with zero aggregate (they appear in the node
         set without incident edges in the reference). Returns the seed feature.
         """
         cfg = self.cfg
-        r_pl = self.r_pt2sa_emb(pl_r_raw)          # [P, D]
         r_sa = self.r_a2sa_emb(a2sa_r_raw)         # [A, D]
         occ_emb = (self.seed_agent_occ_embed(occ_vec.astype(jnp.float32))
                    if cfg.use_grid_token else None)

@@ -360,6 +360,9 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         ], axis=-1)
 
         seed_vec = _seed_vector(params, tables)
+        # loop-invariant map->seed geometry embedding, hoisted out of the
+        # insertion iterations
+        r_pl_emb = apply_dec(params, AgentDecoder.embed_pl2sa_r, pl_r_raw)
 
         def eval_seed(carry):
             """One seed-head evaluation: the reference's per-iteration seed
@@ -391,7 +394,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                                                      False)
             seed_feat = apply_dec(params, AgentDecoder.seed_column,
                                   agent_col, seed_vec, occ_vec, pl_mask,
-                                  pl_r_raw, a2sa_r_raw, a2sa_mask, x_pt)
+                                  r_pl_emb, a2sa_r_raw, a2sa_mask, x_pt)
             heads = apply_dec(params, AgentDecoder.seed_heads, seed_feat)
 
             heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
