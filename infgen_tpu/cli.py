@@ -224,13 +224,16 @@ def main(argv=None):
         def scenario_stream():
             """Yield (i, scen, inputs, outs) per scenario."""
             idxs = list(range(min(args.num_scenarios, len(dataset))))
+            if args.dump_rollouts:
+                # resume: skip already-dumped scenarios BEFORE any compute,
+                # in both the sequential and the sharded path
+                # (model/infgen.py:593-601)
+                idxs = [i for i in idxs if not os.path.exists(os.path.join(
+                    args.save_dir, f"rollout_{i:06d}.npz"))]
+            if not idxs:
+                return
             if not use_shard:
                 for i in idxs:
-                    # resume: skip scenarios already dumped
-                    # (model/infgen.py:593-601)
-                    if args.dump_rollouts and os.path.exists(os.path.join(
-                            args.save_dir, f"rollout_{i:06d}.npz")):
-                        continue
                     scen = dataset[i]
                     r1 = jax.random.fold_in(base_rng, 2 * i)
                     r2 = jax.random.fold_in(base_rng, 2 * i + 1)
@@ -280,9 +283,11 @@ def main(argv=None):
                     slot_active=np.asarray(out["slot_active"]))
 
             # log (GT) features from the scenario itself as the reference
-            # distribution for a self-contained score
-            log_dist = log_dist_fn(gt_feats_fn(scen, inputs, road_edges,
-                                               road_cyclic))
+            # distribution for a self-contained score. Road edges are NOT
+            # passed: the log histograms only cover WosacConfig.fields()
+            # (road bucket excluded from the metametric), so the GT
+            # road-distance tensor would be computed and discarded
+            log_dist = log_dist_fn(gt_feats_fn(scen, inputs, None, None))
 
             # concat features over rollouts along the agent axis like the
             # reference (compute_metrics.py:905-917)

@@ -67,11 +67,23 @@ class BatchLoader:
         order = order[: (n // self.batch_size) * self.batch_size]
         if self.num_workers > 0:
             pool = self._ensure_pool()
-            # chunksize 1 keeps batch latency low; the pool itself is the
-            # prefetch queue (imap keeps workers busy ahead of consumption)
-            it = pool.imap(_worker_get, order, chunksize=1)
+            # bounded in-flight window: imap would buffer results without
+            # backpressure and hold most of an epoch in host RAM when the
+            # consumer is slower than the workers
+            max_inflight = self.num_workers + \
+                self.prefetch_batches * self.batch_size
+            pending = deque()
+            it = iter(order)
+            for i in it:
+                pending.append(pool.apply_async(_worker_get, (int(i),)))
+                if len(pending) >= max_inflight:
+                    break
             batch: List = []
-            for scen in it:
+            while pending:
+                scen = pending.popleft().get()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.apply_async(_worker_get, (int(nxt),)))
                 batch.append(scen)
                 if len(batch) == self.batch_size:
                     yield batch

@@ -10,7 +10,7 @@ scalable_dataset.py:113-138), map tokenization, then padding.
 import json
 import os
 import pickle
-from typing import Iterator, List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -162,11 +162,3 @@ class WaymoDataset:
             data = pickle.load(f)
         return pkl_to_scenario(data, self.cfg, self.map_tokenizer,
                                scenario_id=i, training=self.training)
-
-    def iter_batches(self, batch_size: int, shuffle: bool = True,
-                     seed: int = 0) -> Iterator[List[Scenario]]:
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            yield [self[j] for j in order[i:i + batch_size]]

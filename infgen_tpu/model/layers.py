@@ -185,8 +185,10 @@ class DenseAttention(nn.Module):
                 r_n, pmask = r_n[None], mask[None]
             drop = None
             if self.dropout > 0.0 and not deterministic:
+                # per-head i.i.d. like nn.Dropout on [..., Q, K, H] weights
                 keep = jax.random.bernoulli(self.make_rng("dropout"),
-                                            1.0 - self.dropout, pmask.shape)
+                                            1.0 - self.dropout,
+                                            (*pmask.shape, H))
                 drop = keep.astype(f32) / (1.0 - self.dropout)
             agg = r_biased_attention_trainable(
                 q2, k2, v2, r_n.astype(f32), w_kr.astype(f32),

@@ -49,7 +49,7 @@ def _kernel(x_ref, xs_ref, r_ref, mask_ref,
             sdst_ref, bdst_ref, ssrc_ref, bsrc_ref,
             wq_ref, bq_ref, wk_ref, wv_ref, bv_ref,
             sr_ref, br_ref, wkr_ref, wvr_ref, bvr_ref,
-            wg_ref, bg_ref, ws_ref, bs_ref, wo_ref, bo_ref,
+            wga_ref, wgd_ref, bg_ref, ws_ref, bs_ref, wo_ref, bo_ref,
             spost_ref, bpost_ref, sfp_ref, bfp_ref,
             w0_ref, b0_ref, w1_ref, b1_ref, sfo_ref, bfo_ref,
             sel_ref, out_ref, *, num_heads, head_dim, per_query):
@@ -107,7 +107,8 @@ def _kernel(x_ref, xs_ref, r_ref, mask_ref,
     agg = (p_full * v_eff).sum(axis=1) / jnp.maximum(den_full, 1e-30)
 
     # gated update: to_g over concat([agg, dst_n]) split into two matmuls
-    g = jax.nn.sigmoid(dot(agg, wg_ref[0]) + dot(dst_n, wg_ref[1]) + bg_ref[:])
+    g = jax.nn.sigmoid(dot(agg, wga_ref[:]) + dot(dst_n, wgd_ref[:])
+                       + bg_ref[:])
     s = dot(dst_n, ws_ref[:]) + bs_ref[:]
     agg = agg + g * (s - agg)
     attn_out = dot(agg, wo_ref[:]) + bo_ref[:]        # [qt, D]
@@ -158,8 +159,10 @@ def fused_attention_block(p, x_dst, x_src, r, mask, num_heads: int,
 
     ln_dst = p["prenorm_dst"] if bipartite else p["prenorm_src"]
     row = lambda a: a.astype(f32).reshape(1, -1)
+    # to_g consumes concat([agg (HD), dst_n (D)]): split its kernel at row HD
+    # into the two matmul halves (shapes differ unless HD == D)
     wg = p["to_g"]["kernel"].astype(f32)
-    wg2 = jnp.stack([wg[:HD], wg[HD:]])               # [2, HD|D, HD]
+    wg_a, wg_d = wg[:HD], wg[HD:]
     weights = [
         row(ln_dst["scale"]), row(ln_dst["bias"]),
         row(p["prenorm_src"]["scale"]), row(p["prenorm_src"]["bias"]),
@@ -168,7 +171,7 @@ def fused_attention_block(p, x_dst, x_src, r, mask, num_heads: int,
         p["to_v"]["kernel"].astype(f32), row(p["to_v"]["bias"]),
         row(p["prenorm_r"]["scale"]), row(p["prenorm_r"]["bias"]),
         p["w_kr"].astype(f32), p["w_vr"].astype(f32), row(p["b_vr"]),
-        wg2, row(p["to_g"]["bias"]),
+        wg_a, wg_d, row(p["to_g"]["bias"]),
         p["to_s"]["kernel"].astype(f32), row(p["to_s"]["bias"]),
         p["to_out"]["kernel"].astype(f32), row(p["to_out"]["bias"]),
         row(p["postnorm"]["scale"]), row(p["postnorm"]["bias"]),

@@ -36,8 +36,8 @@ def _kernel(q_ref, k_ref, v_ref, r_ref, wk_ref, wv_ref, mask_ref, drop_ref,
             sel_ref, out_ref, m_ref, den_ref, acc_ref, *, num_heads, head_dim,
             num_k_tiles):
     """Blocks per (b, j): q [1, N, HD]; k/v [1, Tk, HD]; r [1, N, Tk, Dr];
-    mask [1, N, Tk]; drop [1, N, Tk] post-softmax dropout multiplier
-    (1/(1-rate) kept, 0 dropped, all-ones at eval); sel [HD, H];
+    mask [1, N, Tk]; drop [1, N, Tk, H] per-head post-softmax dropout
+    multiplier (1/(1-rate) kept, 0 dropped, all-ones at eval); sel [HD, H];
     out [1, N, HD].
     Scratch: m/den [N, H], acc [N, HD] — carried across the j grid axis.
     Dropout applies to normalized weights (torch semantics: the softmax
@@ -84,7 +84,7 @@ def _kernel(q_ref, k_ref, v_ref, r_ref, wk_ref, wv_ref, mask_ref, drop_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).reshape(N, Tk, HD)
     v_eff = vs.reshape(1, Tk, HD) + vr
-    p_acc = p * drop_ref[0].astype(jnp.float32)[:, :, None]
+    p_acc = p * drop_ref[0].astype(jnp.float32)      # [N, Tk, H] per-head
     p_full = jax.lax.dot_general(
         p_acc.reshape(N * Tk, H), sel_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -116,9 +116,10 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
     mask: [B, Q, K] bool (Q == K for self-attention; bipartite calls like the
     training seed stack have Q != K). Returns [B, Q, H*d] ==
     softmax(q(k+rWk)^T)(v+rWv), with fully-masked queries producing zeros
-    (DenseAttention semantics). drop: optional [B, Q, K] post-softmax dropout
-    multiplier (0 dropped, 1/(1-rate) kept) — torch attention-dropout
-    semantics.
+    (DenseAttention semantics). drop: optional [B, Q, K, H] per-head
+    post-softmax dropout multiplier (0 dropped, 1/(1-rate) kept) — torch
+    attention-dropout semantics (nn.Dropout on the [..., H] weights is
+    i.i.d. per head).
     """
     B, Q, HD = q.shape
     K = k.shape[1]
@@ -129,7 +130,7 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
         # Mosaic only lowers on TPU; interpret mode keeps CPU tests runnable
         interpret = jax.default_backend() != "tpu"
     if drop is None:
-        drop = jnp.ones((B, Q, K), jnp.float32)
+        drop = jnp.ones((B, Q, K, H), jnp.float32)
 
     # lane-aligned key tiles (128) and modest query tiles keep the r block
     # within VMEM with double buffering
@@ -145,7 +146,8 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
     vp = jnp.pad(v, ((0, 0), (0, Nk - K), (0, 0)))
     rp = jnp.pad(r, ((0, 0), (0, Np - Q), (0, Nk - K), (0, 0)))
     mp = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Np - Q), (0, Nk - K)))
-    dp = jnp.pad(drop.astype(jnp.float32), ((0, 0), (0, Np - Q), (0, Nk - K)))
+    dp = jnp.pad(drop.astype(jnp.float32),
+                 ((0, 0), (0, Np - Q), (0, Nk - K), (0, 0)))
 
     kernel = functools.partial(_kernel, num_heads=H, head_dim=d,
                                num_k_tiles=num_k_tiles)
@@ -163,7 +165,7 @@ def r_biased_attention(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
             pl.BlockSpec((Dr, HD), lambda b, qi, j: (0, 0)),
             pl.BlockSpec((Dr, HD), lambda b, qi, j: (0, 0)),
             pl.BlockSpec((1, q_tile, k_tile), lambda b, qi, j: (b, qi, j)),
-            pl.BlockSpec((1, q_tile, k_tile), lambda b, qi, j: (b, qi, j)),
+            pl.BlockSpec((1, q_tile, k_tile, H), lambda b, qi, j: (b, qi, j, 0)),
             pl.BlockSpec((HD, H), lambda b, qi, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, q_tile, HD), lambda b, qi, j: (b, qi, 0)),
@@ -242,7 +244,7 @@ def r_biased_attention_reference(q, k, v, r, w_kr, w_vr, mask, num_heads: int,
     p = jnp.where(jnp.any(mask, -1)[..., None, None], p, 0.0)
     p = jnp.where(mask[..., None], p, 0.0)
     if drop is not None:
-        p = p * drop[..., None]
+        p = p * drop  # [B, N, K, H] per-head multiplier
     out = jnp.einsum("bqkh,bkhd->bqhd", p, vh)
     out = out + jnp.einsum("bqkh,bqkhd->bqhd", p, vr)
     return out.reshape(B, N, HD)

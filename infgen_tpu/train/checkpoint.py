@@ -35,6 +35,21 @@ class CheckpointManager:
             return None
         return self.mgr.restore(step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore without a template: returns the checkpoint as saved (a raw
+        pytree), so shape/tree mismatches don't raise — feed `load_weights`
+        for the reference's non-strict warm start (model/infgen.py:876-916)."""
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return None
+        return self.mgr.restore(step, args=ocp.args.StandardRestore(None))
+
+    def should_save(self, step: int) -> bool:
+        """Whether orbax would actually persist at `step` — callers gate the
+        device_get snapshot on this so the hot loop doesn't pay a full
+        state transfer for steps orbax discards."""
+        return bool(self.mgr.should_save(step))
+
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
 

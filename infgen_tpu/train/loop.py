@@ -8,7 +8,7 @@ with on-device WOSAC scoring.
 import json
 import os
 import time
-from typing import Callable, Iterator, List, Optional
+from typing import Callable, Optional
 
 import jax
 import numpy as np
@@ -35,14 +35,6 @@ class SyntheticDataset:
         if i not in self._cache:
             self._cache[i] = make_synthetic_scenario(self.cfg, seed=i)
         return self._cache[i]
-
-    def iter_batches(self, batch_size: int, shuffle: bool = True,
-                     seed: int = 0) -> Iterator[List[Scenario]]:
-        order = np.arange(self.size)
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        for i in range(0, self.size - batch_size + 1, batch_size):
-            yield [self[j] for j in order[i:i + batch_size]]
 
 
 def train(cfg: Config, dataset, save_dir: str = "runs/default",
@@ -71,6 +63,8 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
     from infgen_tpu.utils.profiling import StepTimer, device_memory_stats
     profile_dir = os.environ.get("INFGEN_PROFILE")
     timer = StepTimer()
+    trace_on = False
+    steps_this_run = 0  # local counter: resumed runs restart at step>10
 
     trainer = Trainer(cfg)
     n_dev = trainer.mesh.devices.size
@@ -81,12 +75,15 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
     ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
     if pretrain_ckpt:
         # weights-only non-strict warm start (reference run.py --pretrain_ckpt
-        # -> load_state_from_file, model/infgen.py:876-916)
+        # -> load_state_from_file, model/infgen.py:876-916): restore RAW so a
+        # mismatched tree/shape doesn't raise before load_weights can filter
         from infgen_tpu.train.checkpoint import load_weights
-        src = CheckpointManager(pretrain_ckpt).restore(jax.device_get(state))
-        if src is not None:
+        raw = CheckpointManager(pretrain_ckpt).restore_raw()
+        if raw is not None:
+            src_params = (raw.get("params", raw) if isinstance(raw, dict)
+                          else getattr(raw, "params", raw))
             state = state._replace(
-                params=load_weights(jax.device_get(state.params), src.params))
+                params=load_weights(jax.device_get(state.params), src_params))
             log_fn(f"warm-started weights from {pretrain_ckpt}")
     if resume and ckpt.latest_step() is not None:
         restored = ckpt.restore(state)
@@ -125,16 +122,19 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
                     batch = next(it, None)
                 if batch is None:
                     break
-                if profile_dir and step == 10:
+                if profile_dir and steps_this_run == 10 and not trace_on:
                     jax.profiler.start_trace(profile_dir)
+                    trace_on = True
                 rng, sub = jax.random.split(rng)
                 with timer.phase("step"):
                     state, logs = trainer.train_step(state, batch, sub)
-                if profile_dir and step == 14:
+                if trace_on and steps_this_run >= 14:
                     jax.block_until_ready(logs["loss"])
                     jax.profiler.stop_trace()
+                    trace_on = False
                     log_fn(f"profiler trace written to {profile_dir}")
                 step += 1
+                steps_this_run += 1
                 if step % log_every == 0:
                     logs = {k: float(v) for k, v in logs.items()}
                     dt = (time.perf_counter() - t_last) / log_every
@@ -151,14 +151,22 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
                         metrics_log.flush()
                     if wandb_run is not None:
                         wandb_run.log(logs, step=step)
-                ckpt.save(step, jax.device_get(state))
+                # gate the full-state device_get on orbax actually persisting
+                # (it discards non-interval steps; the transfer is the cost)
+                if ckpt.should_save(step):
+                    ckpt.save(step, jax.device_get(state))
                 if max_steps and step >= max_steps:
+                    ckpt.save(step, jax.device_get(state))
                     ckpt.wait()
                     return state
+        ckpt.save(step, jax.device_get(state))
         ckpt.wait()
         return state
     finally:
         loader.close()
+        if trace_on:
+            jax.profiler.stop_trace()
+            log_fn(f"profiler trace written to {profile_dir}")
         if timer.counts.get("step"):
             log_fn("phase timings:\n" + timer.summary())
             log_fn(f"device memory: {device_memory_stats()}")

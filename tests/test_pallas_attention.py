@@ -37,7 +37,7 @@ def test_kernel_dropout_matches_reference():
     wk, wv = ((rng.normal(size=(Dr, H * d)) * 0.1).astype(np.float32)
               for _ in range(2))
     mask = rng.uniform(size=(B, N, N)) < 0.5
-    drop = (rng.uniform(size=(B, N, N)) < 0.9).astype(np.float32) / 0.9
+    drop = (rng.uniform(size=(B, N, N, H)) < 0.9).astype(np.float32) / 0.9
 
     ref = np.asarray(r_biased_attention_reference(q, k, v, r, wk, wv, mask, H,
                                                   drop))
@@ -62,7 +62,7 @@ def test_trainable_kernel_gradients_match_xla():
               for _ in range(2))
     mask = rng.uniform(size=(B, N, N)) < 0.6
     mask[0, 1] = False
-    drop = (rng.uniform(size=(B, N, N)) < 0.9).astype(np.float32) / 0.9
+    drop = (rng.uniform(size=(B, N, N, H)) < 0.9).astype(np.float32) / 0.9
 
     def loss_kernel(q, k, v, r, wk, wv):
         o = r_biased_attention_trainable(q, k, v, r, wk, wv, mask, H, drop,
