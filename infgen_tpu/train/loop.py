@@ -125,7 +125,10 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
                 if profile_dir and steps_this_run == 10 and not trace_on:
                     jax.profiler.start_trace(profile_dir)
                     trace_on = True
-                rng, sub = jax.random.split(rng)
+                # host-side raw key (seed, step): an eager jax.random.split
+                # here would dispatch one tiny device program per step over
+                # the remote relay
+                sub = np.array([cfg.seed, step], np.uint32)
                 with timer.phase("step"):
                     state, logs = trainer.train_step(state, batch, sub)
                 if trace_on and steps_this_run >= 14:

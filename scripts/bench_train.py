@@ -48,17 +48,18 @@ def main():
         trainer.init_state(jax.random.PRNGKey(0), scens[0]))
     batch = trainer.shard_batch(stack_scenarios(scens))
 
-    rng = jax.random.PRNGKey(1)
+    import numpy as np
+
+    # host-side raw keys: eager split would add a relay roundtrip per step
+    key = lambda i: np.array([1, i], np.uint32)
     # compile + 2 warmup steps
-    for _ in range(2):
-        rng, sub = jax.random.split(rng)
-        state, logs = trainer.train_step(state, batch, sub)
+    for i in range(2):
+        state, logs = trainer.train_step(state, batch, key(i))
     float(logs["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        rng, sub = jax.random.split(rng)
-        state, logs = trainer.train_step(state, batch, sub)
+    for i in range(args.steps):
+        state, logs = trainer.train_step(state, batch, key(100 + i))
     loss = float(logs["loss"])  # drains the queue
     dt = (time.perf_counter() - t0) / args.steps
 
