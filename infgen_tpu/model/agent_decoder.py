@@ -407,6 +407,10 @@ class AgentDecoder(nn.Module):
                       a2a_idx, a2a_r_raw, a2a_mask, x_pt):
         """Heading/offset refine for one column (agent_decoder.py:2050-2058).
 
+        Full-node-set formulation mirroring the reference; the rollout uses
+        the exact-equivalent subgraph version `refine_column_sub` (verified
+        equal in tests/test_model.py), which runs on 1+K rows instead of A.
+
         x_col [A, D]; query_onehot [A] bool (the newly inserted agent);
         pl_keys [A, Km] gathered map neighbor ids; a2a_idx [A, Ka] agent key
         ids. Non-query rows pass with zero aggregate. Uses trunk layer params
@@ -439,6 +443,36 @@ class AgentDecoder(nn.Module):
                 x[:, None, :], a_keys, r_aa[:, None, :, :], aa_m[:, None, :],
                 True)[:, 0, :]
         return x
+
+    def refine_column_sub(self, x_sub, pl_keys, pl_r_raw, pl_mask,
+                          a2a_r_raw, a2a_mask):
+        """Heading/offset refine on the inserted agent's SUBGRAPH only.
+
+        x_sub [1+K, D]: row 0 = the inserted agent, rows 1: = its agent
+        neighbors (gathered). Exact subset of `refine_column`: only row 0 has
+        incident edges; neighbor rows pass through the zero-aggregate
+        gated-update/FFN path because their transformed features feed row 0's
+        keys at later layers (the reference updates its whole flattened node
+        tensor the same way, agent_decoder.py:2050-2058) — rows outside the
+        neighbor set can never influence row 0, so they are simply omitted.
+        pl_keys [Km, D]; pl_r_raw [Km, 3]; pl_mask [Km]; a2a_r_raw [K, 3];
+        a2a_mask [K]. Returns row 0's refined feature [D].
+        """
+        r_pl = self.r_pt2a_emb(pl_r_raw)           # [Km, D]
+        r_aa = self.r_a2a_emb(a2a_r_raw)           # [K, D]
+        x = x_sub
+        for i in range(self.cfg.num_seed_layers):
+            q = self.pt2a_attn_layers[i](
+                x[0:1][:, None, :], pl_keys[None], r_pl[None, None],
+                pl_mask[None, None], True)[:, 0, :]
+            rest = self._zero_agg(self.pt2a_attn_layers[i], x[1:])
+            x = jnp.concatenate([q, rest], axis=0)
+            q = self.a2a_attn_layers[i](
+                x[0:1][:, None, :], x[1:][None], r_aa[None, None],
+                a2a_mask[None, None], True)[:, 0, :]
+            rest = self._zero_agg(self.a2a_attn_layers[i], x[1:])
+            x = jnp.concatenate([q, rest], axis=0)
+        return x[0]
 
     def rollout_tables(self, agent_vocab):
         """Constant embedding tables used by the rollout scan."""

@@ -557,11 +557,13 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 jnp.where(segmask, ENTER_STATE, carry.pred_state[slot])),
         )
 
-        # ---- heading/offset refine (agent_decoder.py:2001-2074) ----
+        # ---- heading/offset refine (agent_decoder.py:2001-2074) on the
+        # inserted agent's SUBGRAPH: only its row is read downstream and rows
+        # outside its neighbor set cannot influence it, so the pass runs on
+        # [1 + K] gathered rows instead of all A (refine_column_sub)
         pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
         head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
         inter_c = jax.lax.dynamic_index_in_dim(carry.interact, c, 1, False)
-        hv_c = jnp.stack([jnp.cos(head_c), jnp.sin(head_c)], -1)
         onehot = jnp.arange(A) == slot
 
         # pre-refine feature at the enter column (ego heading as dummy)
@@ -569,32 +571,35 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                                     jax.lax.dynamic_index_in_dim(
                                         carry.pos[slot], c, 0, False),
                                     ego_head, g_idx, type_idx, shape_pred)
-        x_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
-        x_col = x_col.at[slot].set(col_feat)
 
+        slot_pos = pos_c[slot]
+        slot_head = head_c[slot]
+        slot_hv = jnp.stack([jnp.cos(slot_head), jnp.sin(slot_head)])
         key_ok = inter_c & carry.slot_active & ~onehot
-        idx_a, val_a = topk_neighbors(pos_c, pos_c, REFINE_A2SA_K,
-                                      cfg.a2sa_radius, key_mask=key_ok,
-                                      exclude_self=True)
-        rel = pos_c[idx_a] - pos_c[:, None]
+        idx_a, val_a = topk_neighbors(slot_pos[None], pos_c, REFINE_A2SA_K,
+                                      cfg.a2sa_radius, key_mask=key_ok)
+        idx_a, val_a = idx_a[0], val_a[0]                 # [Ka]
+        rel = pos_c[idx_a] - slot_pos[None]
         r_aa = jnp.stack([
             jnp.linalg.norm(rel, axis=-1),
-            angle_between_2d_vectors(hv_c[:, None], rel),
-            wrap_angle(head_c[idx_a] - head_c[:, None]),
+            angle_between_2d_vectors(slot_hv[None], rel),
+            wrap_angle(head_c[idx_a] - slot_head),
         ], axis=-1)
-        idx_p, val_p = topk_neighbors(pos_c, pt_pos, REFINE_PL2SA_K,
+        idx_p, val_p = topk_neighbors(slot_pos[None], pt_pos, REFINE_PL2SA_K,
                                       cfg.pl2sa_radius, key_mask=pt_mask)
-        rel_p = pt_pos[idx_p] - pos_c[:, None]
+        idx_p, val_p = idx_p[0], val_p[0]                 # [Km]
+        rel_p = pt_pos[idx_p] - slot_pos[None]
         r_pp = jnp.stack([
             jnp.linalg.norm(rel_p, axis=-1),
-            angle_between_2d_vectors(hv_c[:, None], rel_p),
-            wrap_angle(pt_orient[idx_p] - head_c[:, None]),
+            angle_between_2d_vectors(slot_hv[None], rel_p),
+            wrap_angle(pt_orient[idx_p] - slot_head),
         ], axis=-1)
 
-        refined = apply_dec(params, AgentDecoder.refine_column,
-                            x_col, onehot, idx_p, r_pp, val_p,
-                            idx_a, r_aa, val_a, x_pt)
-        heads = apply_dec(params, AgentDecoder.refine_heads, refined[slot])
+        x_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
+        x_sub = jnp.concatenate([col_feat[None], x_col[idx_a]], axis=0)
+        refined_slot = apply_dec(params, AgentDecoder.refine_column_sub,
+                                 x_sub, x_pt[idx_p], r_pp, val_p, r_aa, val_a)
+        heads = apply_dec(params, AgentDecoder.refine_heads, refined_slot)
         heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
 
         if cfg.use_head_token:

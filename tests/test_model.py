@@ -132,3 +132,73 @@ def test_training_forward(small_setup):
     # occ gt only marks cells of agents visible to seeds
     occ = np.asarray(pred["occ_agent_gt"])
     assert occ.min() >= 0 and occ.max() <= 1
+
+
+def test_refine_subgraph_matches_full():
+    """refine_column_sub (rollout: inserted row + its neighbors only) ==
+    refine_column (reference-shaped full node set) for the query row."""
+    import jax
+    import jax.numpy as jnp
+
+    from infgen_tpu.config import Config
+    from infgen_tpu.model.agent_decoder import AgentDecoder
+    from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+
+    cfg = Config(max_agents=16, max_map_tokens=64, num_agent_layers=2,
+                 num_seed_layers=2, hidden_dim=32, num_heads=2, head_dim=16,
+                 num_freq_bands=8, num_seed_feature=4, dropout=0.0)
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    dec = AgentDecoder(cfg, jnp.asarray(attr.grid), attr.grid_size,
+                       attr.angle_size)
+
+    rng = np.random.default_rng(21)
+    A, Ka, Km, P, D = 12, 5, 7, 40, 32
+    slot = 3
+    x_col = rng.normal(size=(A, D)).astype(np.float32)
+    x_pt = rng.normal(size=(P, D)).astype(np.float32)
+    idx_a = rng.choice([i for i in range(A) if i != slot], Ka, replace=False
+                       ).astype(np.int32)
+    val_a = rng.uniform(size=Ka) < 0.8
+    r_aa = rng.normal(size=(Ka, 3)).astype(np.float32)
+    idx_p = rng.integers(0, P, Km).astype(np.int32)
+    val_p = rng.uniform(size=Km) < 0.8
+    r_pp = rng.normal(size=(Km, 3)).astype(np.float32)
+
+    onehot = np.arange(A) == slot
+    # full formulation wants per-query tables; rows != slot are masked out
+    idx_a_full = np.zeros((A, Ka), np.int32)
+    idx_a_full[slot] = idx_a
+    val_a_full = np.zeros((A, Ka), bool)
+    val_a_full[slot] = val_a
+    r_aa_full = np.zeros((A, Ka, 3), np.float32)
+    r_aa_full[slot] = r_aa
+    idx_p_full = np.zeros((A, Km), np.int32)
+    idx_p_full[slot] = idx_p
+    val_p_full = np.zeros((A, Km), bool)
+    val_p_full[slot] = val_p
+    r_pp_full = np.zeros((A, Km, 3), np.float32)
+    r_pp_full[slot] = r_pp
+
+    params = dec.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(x_col), jnp.asarray(onehot), jnp.asarray(idx_p_full),
+        jnp.asarray(r_pp_full), jnp.asarray(val_p_full),
+        jnp.asarray(idx_a_full), jnp.asarray(r_aa_full),
+        jnp.asarray(val_a_full), jnp.asarray(x_pt),
+        method=AgentDecoder.refine_column)
+    full = dec.apply(
+        params, jnp.asarray(x_col), jnp.asarray(onehot),
+        jnp.asarray(idx_p_full), jnp.asarray(r_pp_full),
+        jnp.asarray(val_p_full), jnp.asarray(idx_a_full),
+        jnp.asarray(r_aa_full), jnp.asarray(val_a_full), jnp.asarray(x_pt),
+        method=AgentDecoder.refine_column)
+
+    x_sub = jnp.concatenate([x_col[slot][None], x_col[idx_a]], axis=0)
+    sub = dec.apply(
+        params, x_sub, jnp.asarray(x_pt)[jnp.asarray(idx_p)],
+        jnp.asarray(r_pp), jnp.asarray(val_p), jnp.asarray(r_aa),
+        jnp.asarray(val_a), method=AgentDecoder.refine_column_sub)
+
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(full)[slot],
+                               atol=2e-5, rtol=1e-5)
