@@ -215,7 +215,20 @@ class AgentDecoder(nn.Module):
     # ------------------------------------------------------------------ #
 
     def _zero_agg(self, layer, x, deterministic=True):
-        """Run rows through a layer with no incident edges (agg = 0)."""
+        """Run rows through a layer with no incident edges (agg = 0).
+
+        At apply time uses the closed form (gate + FFN only,
+        layers.dense_attention_zero_agg) — the module path would execute the
+        full q/k/v + masked-softmax machinery against a dummy key just to
+        produce agg == 0. The init path keeps the module call so params
+        materialize. Equivalence covered in tests/test_model.py."""
+        if not self.is_initializing():
+            from infgen_tpu.model.layers import dense_attention_zero_agg
+            from infgen_tpu.ops.precision import compute_dtype_of
+            return dense_attention_zero_agg(
+                layer.variables["params"], x,
+                bipartite=bool(getattr(layer, "bipartite", False)),
+                dtype=compute_dtype_of(self.cfg.compute_dtype))
         dummy = jnp.zeros((*x.shape[:-1], 1, x.shape[-1]), x.dtype)
         mask = jnp.zeros((*x.shape[:-1], 1, 1), bool)
         return layer(x[..., None, :], dummy, None, mask,

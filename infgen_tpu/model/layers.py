@@ -253,3 +253,46 @@ class DenseAttention(nn.Module):
             h = nn.Dropout(self.dropout, deterministic=False, name="ff_drop")(h)
         h = _dense(D, name="ff_1", dtype=dt)(h)
         return x + nn.LayerNorm(name="ff_postnorm", dtype=dt)(h)
+
+
+def dense_attention_zero_agg(p, x, bipartite: bool = False, dtype=None):
+    """Closed form of DenseAttention for a row with NO incident edges.
+
+    With every key masked, agg == 0 exactly, so the layer reduces to
+      g   = sigmoid(to_g(concat([0, dst_n])))
+      agg = g * to_s(dst_n)
+      out = x + postnorm(to_out(agg)); out = out + ff_postnorm(FFN(out))
+    — skipping the q/k/v projections and masked-softmax machinery the module
+    would execute against a dummy key (XLA cannot prove the dummy path is
+    dead). `p` is the layer's param subtree; numerics match the module
+    including the compute-dtype policy (verified in tests/test_model.py).
+    """
+    import jax
+
+    def cast(w):
+        return w.astype(dtype) if dtype is not None else w
+
+    def ln(v, q):
+        # flax LayerNorm computes statistics in fp32 regardless of dtype
+        v32 = v.astype(jnp.float32)
+        m = v32.mean(axis=-1, keepdims=True)
+        var = ((v32 - m) ** 2).mean(axis=-1, keepdims=True)
+        y = (v32 - m) * jax.lax.rsqrt(var + 1e-6)
+        y = y * q["scale"].astype(jnp.float32) + q["bias"].astype(jnp.float32)
+        return y.astype(dtype if dtype is not None else v.dtype)
+
+    if dtype is not None:
+        x = x.astype(dtype)
+    ln_dst = p["prenorm_dst"] if bipartite else p["prenorm_src"]
+    dst_n = ln(x, ln_dst)
+    HD = p["to_s"]["kernel"].shape[1]
+    # to_g over concat([agg=0, dst_n]): only the dst_n half of the kernel acts
+    g = jax.nn.sigmoid(dst_n @ cast(p["to_g"]["kernel"])[HD:]
+                       + cast(p["to_g"]["bias"]))
+    agg = g * (dst_n @ cast(p["to_s"]["kernel"]) + cast(p["to_s"]["bias"]))
+    attn_out = agg @ cast(p["to_out"]["kernel"]) + cast(p["to_out"]["bias"])
+    x1 = x + ln(attn_out, p["postnorm"])
+    h = ln(x1, p["ff_prenorm"])
+    h = jax.nn.relu(h @ cast(p["ff_0"]["kernel"]) + cast(p["ff_0"]["bias"]))
+    h = h @ cast(p["ff_1"]["kernel"]) + cast(p["ff_1"]["bias"])
+    return x1 + ln(h, p["ff_postnorm"])

@@ -202,3 +202,33 @@ def test_refine_subgraph_matches_full():
 
     np.testing.assert_allclose(np.asarray(sub), np.asarray(full)[slot],
                                atol=2e-5, rtol=1e-5)
+
+
+def test_zero_agg_closed_form_matches_module():
+    """dense_attention_zero_agg == DenseAttention with a fully-masked dummy
+    key, fp32 and bf16 compute dtypes, bipartite and shared-LN layers."""
+    import jax
+    import jax.numpy as jnp
+
+    from infgen_tpu.model.layers import DenseAttention, dense_attention_zero_agg
+
+    rng = np.random.default_rng(31)
+    N, D, H, Hd = 11, 32, 2, 16
+    x = rng.normal(size=(N, D)).astype(np.float32)
+    for bipartite in (False, True):
+        for dt in (None, jnp.bfloat16):
+            mod = DenseAttention(D, H, Hd, dropout=0.0, bipartite=bipartite,
+                                 dtype=dt)
+            dummy = jnp.zeros((N, 1, D))
+            mask = jnp.zeros((N, 1, 1), bool)
+            # r=None at init skips prenorm_r; fine — zero-agg never uses it
+            params = mod.init(jax.random.PRNGKey(0), x[:, None, :], dummy,
+                              None, mask, True)
+            ref = mod.apply(params, x[:, None, :], dummy, None, mask,
+                            True)[:, 0, :]
+            out = dense_attention_zero_agg(params["params"], jnp.asarray(x),
+                                           bipartite=bipartite, dtype=dt)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                atol=1e-5 if dt is None else 3e-2,
+                rtol=1e-6 if dt is None else 2e-2)
