@@ -59,20 +59,11 @@ def main(argv=None):
         else:
             from infgen_tpu.data.waymo import WaymoDataset
             dataset = WaymoDataset(args.data_dir, cfg, training=True)
-        if args.overfit or os.environ.get("OVERFIT"):
+        if args.overfit or os.environ.get("OVERFIT", "0") not in ("", "0"):
             # overfit-one-batch debug mode (reference OVERFIT env,
-            # run.py:111-113: one batch repeated for overfit_epochs)
-            class _Overfit:
-                def __init__(self, ds, n):
-                    self._items = [ds[i] for i in range(n)]
-
-                def __len__(self):
-                    return 64  # one "epoch" = 64 repeats of the batch
-
-                def __getitem__(self, i):
-                    return self._items[i % len(self._items)]
-
-            dataset = _Overfit(dataset, max(cfg.train_batch_size, 1))
+            # run.py:111-113: ONE fixed batch repeated for overfit_epochs)
+            from infgen_tpu.train.loop import OverfitDataset
+            dataset = OverfitDataset(dataset, max(cfg.train_batch_size, 1))
             cfg = cfg.replace(max_epochs=max(cfg.max_epochs, 100))
         train(cfg, dataset, save_dir=args.save_dir, max_steps=args.max_steps,
               pretrain_ckpt=args.pretrain_ckpt)

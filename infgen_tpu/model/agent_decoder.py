@@ -220,9 +220,11 @@ class AgentDecoder(nn.Module):
         At apply time uses the closed form (gate + FFN only,
         layers.dense_attention_zero_agg) — the module path would execute the
         full q/k/v + masked-softmax machinery against a dummy key just to
-        produce agg == 0. The init path keeps the module call so params
-        materialize. Equivalence covered in tests/test_model.py."""
-        if not self.is_initializing():
+        produce agg == 0. Deterministic only: the closed form has no FFN
+        dropout, so training (deterministic=False) keeps the module path.
+        The init path keeps the module call so params materialize.
+        Equivalence covered in tests/test_model.py."""
+        if deterministic and not self.is_initializing():
             from infgen_tpu.model.layers import dense_attention_zero_agg
             from infgen_tpu.ops.precision import compute_dtype_of
             return dense_attention_zero_agg(

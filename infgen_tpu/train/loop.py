@@ -37,6 +37,22 @@ class SyntheticDataset:
         return self._cache[i]
 
 
+class OverfitDataset:
+    """One fixed batch, repeated — the reference's OVERFIT debug mode
+    (run.py:111-113). Length equals the batch size, so every epoch yields
+    exactly that batch (shuffle only permutes within it). Module-level so
+    spawn loader workers can pickle it."""
+
+    def __init__(self, dataset, batch_size: int):
+        self._items = [dataset[i] for i in range(batch_size)]
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i: int):
+        return self._items[i]
+
+
 def train(cfg: Config, dataset, save_dir: str = "runs/default",
           max_steps: Optional[int] = None, log_every: int = 10,
           resume: bool = True, log_fn: Optional[Callable] = None,

@@ -37,11 +37,7 @@ from infgen_tpu.rollout.closed_loop import make_rollout_fn
 from infgen_tpu.train.train_step import Trainer, stack_scenarios
 
 
-def score(trainer, cfg, params, scens, inputs_b, log_dists, tag):
-    rollout = jax.jit(jax.vmap(
-        make_rollout_fn(trainer.model, cfg, trainer.attr, trainer.motion_tok,
-                        trainer.map_vocab, jit=False),
-        in_axes=(None, 0, 0, 0)))
+def score(trainer, cfg, params, scens, inputs_b, log_dists, tag, rollout):
     B = len(scens)
     out = rollout(params, stack_scenarios(scens), inputs_b,
                   jax.random.split(jax.random.PRNGKey(7), B))
@@ -100,14 +96,22 @@ def main():
         trainer.init_state(jax.random.PRNGKey(0), scens[0]))
     params0 = jax.device_get(state.params)
 
+    # jitted rollout built ONCE (re-tracing the scan per score() call would
+    # recompile the largest program twice)
+    rollout = jax.jit(jax.vmap(
+        make_rollout_fn(trainer.model, cfg, trainer.attr, trainer.motion_tok,
+                        trainer.map_vocab, jit=False),
+        in_axes=(None, 0, 0, 0)))
+
     before = score(trainer, cfg, params0, scens, inputs_b, log_dists,
-                   "untrained")
+                   "untrained", rollout)
 
     batches = [trainer.shard_batch(stack_scenarios([scens[i], scens[(i + 1) % B]]))
                for i in range(0, B, 2)]
-    rng = jax.random.PRNGKey(1)
     for step in range(args.steps):
-        rng, sub = jax.random.split(rng)
+        # host-side raw key: an eager split per step would dispatch a tiny
+        # device program over the remote relay (see train/loop.py)
+        sub = np.array([1, step], np.uint32)
         state, logs = trainer.train_step(state, batches[step % len(batches)],
                                          sub)
         if step % 100 == 0:
@@ -115,7 +119,7 @@ def main():
     params1 = jax.device_get(state.params)
 
     after = score(trainer, cfg, params1, scens, inputs_b, log_dists,
-                  f"trained({args.steps})")
+                  f"trained({args.steps})", rollout)
 
     res = dict(steps=args.steps, compute_dtype=cfg.compute_dtype,
                before=before, after=after)
