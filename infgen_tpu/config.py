@@ -112,6 +112,23 @@ class Config:
     use_head_token: bool = True
     use_state_token: bool = True
     disable_insertion: bool = False
+    # Reference-faithful rollout quirks (True = emulate the published
+    # reference inference behavior exactly — required for rollout parity,
+    # tests/test_rollout_parity.py; False = the "repaired" semantics):
+    #  1. _build_temporal_edge masks the last num_seed_feature(=10) rows out
+    #     of BOTH the temporal key and query sets (agent_decoder.py:553-556)
+    #     — intended for the training graph's appended seed rows, but at
+    #     inference no seed rows are appended, so the reference rollout
+    #     silently runs the last 10 real agent rows (including every recently
+    #     inserted agent) with zero-aggregate temporal attention.
+    #  2. Per-step categorical embeddings: the reference refreshes type/shape
+    #     embeddings only for rows that went invalid (:2237-2238), but the
+    #     embeddings were initialized with state==invalid -> seed-type /
+    #     invalid-shape for all future columns (:376-380). Initial agents
+    #     therefore keep seed-type/invalid-shape categorical embeddings for
+    #     every rollout column; only agents INSERTED during the rollout carry
+    #     real type/shape embeddings (:1949,1993).
+    ref_rollout_quirks: bool = True
 
     # --- training ---
     lr: float = 5e-4

@@ -381,6 +381,25 @@ class AgentDecoder(nn.Module):
             new_cols.append(x)
         return jnp.stack(new_cols), x
 
+    def prefill_column(self, x_c):
+        """Zero-aggregate trunk chain for history column 0 of the rollout.
+
+        The reference's rollout never queries column 0: its motion-stage
+        inference mask selects only column 1+t (agent_decoder.py:2119-2121),
+        so the cached per-layer value of column 0 (feat_a_t_dict) is the raw
+        fused feature passed through each layer WITHOUT attention — the
+        no-incident-edges gated-update/FFN path. Returns [L, A, D]: the value
+        to store in cache[l][:, 0] (the temporal keys later steps read).
+        """
+        x = x_c
+        cols = []
+        for i in range(self.cfg.num_agent_layers):
+            x = self._zero_agg(self.t_attn_layers[i], x)
+            x = self._zero_agg(self.pt2a_attn_layers[i], x)
+            x = self._zero_agg(self.a2a_attn_layers[i], x)
+            cols.append(x)
+        return jnp.stack(cols)
+
     def embed_pl2sa_r(self, pl_r_raw):
         """Map->seed relative-geometry embedding [P, D]; loop-invariant during
         one step's insertion iterations, so the rollout hoists it out of the

@@ -98,13 +98,15 @@ def _agent_row_features(dec, tables, pos, head, state, token, grid, type_,
 
 def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                     num_recurrent_steps: int = None, jit: bool = True,
-                    force_insert: bool = False):
+                    force_insert: bool = False, debug: bool = False):
     """Build `rollout(params, scenario, rng) -> dict`.
 
     force_insert=True makes every insertion iteration propose an agent
     regardless of the seed-state head (the reference's DEBUG mode,
     agent_decoder.py:1888-1889) — bounds the trained-model insertion cost
-    for benchmarking."""
+    for benchmarking.
+    debug=True adds per-step head logits and the initial fused features to
+    the output dict (parity bisection; costs HBM, keep off in production)."""
     R = num_recurrent_steps or cfg.num_recurrent_steps_val
     n_steps = R // SHIFT
     Ti = (R + cfg.num_historical_steps) // SHIFT
@@ -232,27 +234,38 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             rng=rng,
         )
 
-        # --- prefill column 0 (part of the reference's t=0 joint pass) ---
-        carry = _motion_pass(params, carry, jnp.int32(0), x_pt, pt_pos,
-                             pt_orient, pt_mask, tables, av,
-                             write_cache_only=True)
+        # --- prefill cache column 0: the reference never queries column 0
+        # (its motion inference mask is column 1+t only, :2119-2121), so its
+        # cached value per layer is the zero-aggregate transform of the raw
+        # fused feature — NOT an attended motion pass
+        cols0 = apply_dec(params, AgentDecoder.prefill_column,
+                          carry.raw_feat[:, 0])
+        carry = carry._replace(cache=carry.cache.at[:, :, 0].set(cols0))
 
         # --- the scan ---
         def body(carry, t):
             carry, out = _step(params, carry, t, x_pt, pt_pos, pt_orient,
-                               pt_mask, tables, av)
+                               pt_mask, tables, av, slot_active)
             return carry, out
 
+        raw_feat0 = carry.raw_feat
         carry, outs = jax.lax.scan(body, carry, jnp.arange(n_steps))
 
-        return _finalize(carry, outs, scenario, inputs, slot_active, av)
+        result = _finalize(carry, outs, scenario, inputs, slot_active, av)
+        if debug:
+            result["debug_token_logits"] = outs["token_logits"]
+            result["debug_state_logits"] = outs["state_logits"]
+            result["debug_layer_cols"] = outs["layer_cols"]
+            result["debug_feat_new"] = outs["feat_new"]
+            result["debug_raw_feat0"] = raw_feat0
+        return result
 
     # ---------------------------------------------------------------- #
     # motion pass for one column
     # ---------------------------------------------------------------- #
 
     def _motion_pass(params, carry, c, x_pt, pt_pos, pt_orient, pt_mask,
-                     tables, av, write_cache_only=False):
+                     tables, av):
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)   # [A, 2]
@@ -274,6 +287,16 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         bos = jnp.where(is_bos.any(1), jnp.argmax(is_bos, 1), 0)        # [A]
         k_valid = (k_cols[None] < c) & key_hist & (k_cols[None] >= bos[:, None])
         k_valid = k_valid & carry.slot_active[:, None]
+        if cfg.ref_rollout_quirks:
+            # reference quirk: the last num_seed_feature active rows get no
+            # temporal attention at inference (agent_decoder.py:553-556 slices
+            # hist/inference masks by the TRAINING seed-row count; temporal
+            # keys are an agent's own history, so masking keys == masking the
+            # row). Active slots are always a prefix (slots fill in order), so
+            # the reference's "last 10 rows" are the highest-indexed actives.
+            n_act = carry.slot_active.sum()
+            quirk = jnp.arange(A) >= n_act - cfg.num_seed_feature
+            k_valid = k_valid & ~quirk[:, None]
 
         rel_pos = key_pos - pos_c[:, None]
         rel_head = wrap_angle(key_head - head_c[:, None])
@@ -333,9 +356,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 cch, ncol, c, 1)
         )(carry.cache, new_cols)
         carry = carry._replace(cache=cache)
-        if write_cache_only:
-            return carry
-        return carry, out
+        return carry, out, new_cols
 
     # ---------------------------------------------------------------- #
     # insertion loop for one step
@@ -455,12 +476,19 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # while_loop (not fori): exits as soon as the seed head says stop.
         # Under a vmapped rollout JAX keeps iterating until every batch
         # element has stopped, with per-element effects already masked.
-        # DELIBERATE DEVIATION from the reference: an occupied-cell rejection
-        # consumes one of the insert_limit iterations here, whereas the
-        # reference `continue`s and retries without counting
-        # (agent_decoder.py:1906-1909) — unbounded in the worst case. A
-        # bounded loop is required for a compiled fixed-shape program; the
-        # cost is at most fewer insertions on a crowded step.
+        # Budget semantics match the reference exactly: its while loop
+        # increments p at the top of EVERY iteration (agent_decoder.py:1775)
+        # and breaks at p-1 >= insert_limit (:1776), so an occupied-cell
+        # rejection (`continue`, :1906-1909) consumes one of the <=10
+        # iterations there too. Verified by tests/test_rollout_parity.py
+        # insert mode: with insert_beam_size=1 the argmax cell repeats, both
+        # sides burn most of the budget on rejections, and per-step insertion
+        # counts still match bitwise. The one residual ordering difference:
+        # the reference checks occupancy BEFORE the all-invalid stop (:1906
+        # vs :1914), this loop checks stop first — they diverge only when a
+        # proposal is simultaneously occupied AND stop-flagged, in which case
+        # the reference keeps burning budget on a proposal it would never
+        # insert while this loop exits early (no insertion either way).
         probs0 = jnp.zeros((cfg.insert_limit + 1,))
         carry, prop0 = eval_seed(carry)
         carry, _, n_new, probs, _ = jax.lax.while_loop(
@@ -653,7 +681,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     # one scan step
     # ---------------------------------------------------------------- #
 
-    def _step(params, carry, t, x_pt, pt_pos, pt_orient, pt_mask, tables, av):
+    def _step(params, carry, t, x_pt, pt_pos, pt_orient, pt_mask, tables, av,
+              init_active):
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         c = t + 1  # current column
@@ -672,8 +701,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 carry)
 
         # 2. motion for all agents
-        carry, feat_c = _motion_pass(params, carry, c, x_pt, pt_pos, pt_orient,
-                                     pt_mask, tables, av)
+        carry, feat_c, layer_cols = _motion_pass(
+            params, carry, c, x_pt, pt_pos, pt_orient, pt_mask, tables, av)
         token_logits, state_logits = apply_dec(
             params, AgentDecoder.motion_heads, feat_c)
 
@@ -736,10 +765,21 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         t_idx = map_token_index(tok_new, cfg.token_size)
         tok_emb_new = tables["token_tables"][jnp.clip(carry.type_, 0, 2), t_idx]
 
+        # reference quirk 2 (Config.ref_rollout_quirks): initial agents keep
+        # seed-type/invalid-shape categorical embeddings on every rollout
+        # column (agent_decoder.py:376-380 initializes future columns as
+        # invalid and :2237-2238 only ever rewrites rows that went invalid);
+        # agents inserted during the rollout carry real type/shape
+        # (:1949,1993).
+        if cfg.ref_rollout_quirks:
+            as_seed = is_invalid | init_active
+        else:
+            as_seed = is_invalid
+
         def cats(mdl):
             d = mdl.agent_decoder
-            te = d.type_a_emb(jnp.where(is_invalid, SEED_TYPE, carry.type_))
-            se = d.shape_emb(jnp.where(is_invalid[:, None],
+            te = d.type_a_emb(jnp.where(as_seed, SEED_TYPE, carry.type_))
+            se = d.shape_emb(jnp.where(as_seed[:, None],
                                        INVALID_SHAPE_VALUE, carry.shape))
             return te, se
         te_new, se_new = model.apply({"params": params}, method=cats)
@@ -793,6 +833,11 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
         out = dict(n_inserted=n_new, seed_probs=seed_probs,
                    next_token=tok_new, next_state=next_state)
+        if debug:
+            out["token_logits"] = token_logits
+            out["state_logits"] = state_logits
+            out["layer_cols"] = layer_cols
+            out["feat_new"] = feat_new
         return carry, out
 
     # ---------------------------------------------------------------- #
@@ -851,7 +896,12 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             pred_type=carry.type_,
             pred_shape=carry.shape,
             eval_shape=eval_shape,
-            next_token_idx=jnp.where(carry.token == -2, -1, carry.token),
+            # history columns keep the raw -2 bos sentinel (the reference
+            # passes agent_token_index through, :1733-1735); rollout columns
+            # map it to -1 (the reference pads inserted rows with -1, :2304)
+            next_token_idx=jnp.where(
+                (carry.token == -2) & (jnp.arange(carry.token.shape[1])[None] >= H),
+                -1, carry.token),
             next_state_idx=carry.state,
             grid_index=carry.grid,
             n_inserted=carry.n_inserted,

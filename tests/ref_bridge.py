@@ -202,11 +202,17 @@ def transplant_agent_decoder(params, ref, cfg):
 # data conversion (repo Scenario/ModelInputs -> reference HeteroData)
 # --------------------------------------------------------------------- #
 
-def build_ref_data(cfg, scenario, inputs, mt, num_agents=None, num_pt=None):
+def build_ref_data(cfg, scenario, inputs, mt, num_agents=None, num_pt=None,
+                   num_token_steps=None):
     """Reference-model `data` dict from the repo's tokenized inputs.
 
     Strips padding: pass num_agents/num_pt to keep only real rows (parity
     tests size max_agents == num_agents so the padded arrays align 1:1).
+    num_token_steps truncates the 2 Hz token arrays to the rollout's
+    num_infer_step — the repo rollout truncates the same way
+    (closed_loop.py pad_t), while the reference only pads, never truncates
+    (agent_decoder.py:1638-1645), and its `reshape(-1, num_infer_step, D)`
+    silently misinterprets longer arrays as extra agent rows.
     Field inventory: agent_decoder.py forward (:1104-1180) + inference
     (:1605-1678) + map references to data['pt_token'].
     """
@@ -214,21 +220,23 @@ def build_ref_data(cfg, scenario, inputs, mt, num_agents=None, num_pt=None):
     An = num_agents if num_agents is not None else int(npy(scenario.agents.slot_mask).sum())
     P = num_pt if num_pt is not None else int(npy(scenario.map.mask).sum())
     tok = inputs.tokens
+    Tt = num_token_steps if num_token_steps is not None \
+        else npy(tok.token_idx).shape[1]
 
     data = pyg_stubs.FakeHeteroData()
     ag = data["agent"]
-    ag["token_pos"] = _t(npy(tok.token_pos)[:An]).float()
-    ag["token_heading"] = _t(npy(tok.token_heading)[:An]).float()
-    ag["token_idx"] = _t(npy(tok.token_idx)[:An]).long()
-    ag["state_idx"] = _t(npy(tok.state_idx)[:An]).long()
-    ag["raw_agent_valid_mask"] = _t(npy(tok.raw_token_valid)[:An]).bool()
+    ag["token_pos"] = _t(npy(tok.token_pos)[:An, :Tt]).float()
+    ag["token_heading"] = _t(npy(tok.token_heading)[:An, :Tt]).float()
+    ag["token_idx"] = _t(npy(tok.token_idx)[:An, :Tt]).long()
+    ag["state_idx"] = _t(npy(tok.state_idx)[:An, :Tt]).long()
+    ag["raw_agent_valid_mask"] = _t(npy(tok.raw_token_valid)[:An, :Tt]).bool()
     ag["type"] = _t(npy(inputs.agent_type)[:An]).long()
     T10 = npy(scenario.agents.valid).shape[1]
     ag["shape"] = _t(np.repeat(npy(inputs.agent_shape)[:An, None], T10, 1)).float()
     ag["av_index"] = torch.tensor([int(inputs.av_index)]).long()
-    ag["grid_token_idx"] = _t(npy(inputs.grid_token_idx)[:An]).long()
-    ag["grid_offset_xy"] = _t(npy(inputs.grid_offset_xy)[:An]).float()
-    ag["heading_token_idx"] = _t(npy(inputs.heading_token_idx)[:An]).long()
+    ag["grid_token_idx"] = _t(npy(inputs.grid_token_idx)[:An, :Tt]).long()
+    ag["grid_offset_xy"] = _t(npy(inputs.grid_offset_xy)[:An, :Tt]).float()
+    ag["heading_token_idx"] = _t(npy(inputs.heading_token_idx)[:An, :Tt]).long()
     ag["pos_xy"] = _t(npy(inputs.pos_xy)[:An]).float()
     ag["heading_theta"] = _t(npy(inputs.heading_theta)[:An]).float()
     ag["sort_indices"] = _t(npy(inputs.sort_indices)[:An]).long()
@@ -243,6 +251,7 @@ def build_ref_data(cfg, scenario, inputs, mt, num_agents=None, num_pt=None):
     ag["valid_mask"] = _t(npy(scenario.agents.valid)[:An]).bool()
     ag["id"] = torch.arange(An).long()
     ag["position"] = _t(npy(scenario.agents.position)[:An]).float()
+    ag["heading"] = _t(npy(scenario.agents.heading)[:An]).float()
     ag["token_traj_all"] = _t(
         np.take(npy(mt.token_traj_all), np.clip(npy(inputs.agent_type)[:An], 0, 2),
                 axis=0)).float()
