@@ -12,6 +12,22 @@ import json
 import os
 
 
+class _ValOffset:
+    """View of the tail of a synthetic dataset: held-out seeds for periodic
+    validation (train seeds are [0, len); these are [size-k, size))."""
+
+    def __init__(self, dataset, k: int):
+        self._dataset = dataset
+        self._base = len(dataset) - k
+        self._k = k
+
+    def __len__(self):
+        return self._k
+
+    def __getitem__(self, i: int):
+        return self._dataset[self._base + i]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("infgen_tpu")
     p.add_argument("mode", choices=["train", "validate", "rollout",
@@ -33,6 +49,11 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--dump_rollouts", action="store_true",
                    help="save per-scenario rollout .npz for offline scoring")
+    p.add_argument("--log_features", default=None,
+                   help="aggregated GT log features (total_features.npz from "
+                        "`python -m infgen_tpu.metrics.offline "
+                        "--dump_log --aggregate_log`); default: aggregate "
+                        "over the validation scenarios being rolled out")
     p.add_argument("--plot_rollouts", action="store_true")
     p.add_argument("--overfit", action="store_true",
                    help="overfit one batch (reference OVERFIT debug mode)")
@@ -61,12 +82,33 @@ def main(argv=None):
             dataset = WaymoDataset(args.data_dir, cfg, training=True)
         if args.overfit or os.environ.get("OVERFIT", "0") not in ("", "0"):
             # overfit-one-batch debug mode (reference OVERFIT env,
-            # run.py:111-113: ONE fixed batch repeated for overfit_epochs)
+            # run.py:111-113: ONE fixed batch repeated for overfit_epochs).
+            # Size by the GLOBAL batch (per-device x data-mesh devices):
+            # train() consumes train_batch_size * n_dev items per step, and a
+            # smaller dataset would yield zero batches per epoch.
             from infgen_tpu.train.loop import OverfitDataset
-            dataset = OverfitDataset(dataset, max(cfg.train_batch_size, 1))
+            n_dev = cfg.mesh_shape.get("data", 0) or jax.local_device_count()
+            dataset = OverfitDataset(
+                dataset, max(cfg.train_batch_size, 1) * n_dev)
             cfg = cfg.replace(max_epochs=max(cfg.max_epochs, 100))
+        # held-out validation set for periodic in-training validation +
+        # best-k monitored checkpoints (train/loop.py)
+        if cfg.val_every_n_epochs > 0:
+            if args.synthetic or not args.data_dir:
+                from infgen_tpu.train.loop import SyntheticDataset as _SD
+                val_dataset = _ValOffset(_SD(cfg, size=10_000),
+                                         cfg.val_num_scenarios)
+            else:
+                from infgen_tpu.data.waymo import WaymoDataset
+                try:
+                    val_dataset = WaymoDataset(args.data_dir, cfg,
+                                               training=False)
+                except Exception:
+                    val_dataset = None
+        else:
+            val_dataset = None
         train(cfg, dataset, save_dir=args.save_dir, max_steps=args.max_steps,
-              pretrain_ckpt=args.pretrain_ckpt)
+              pretrain_ckpt=args.pretrain_ckpt, val_dataset=val_dataset)
 
     elif args.mode == "check-inputs":
         from infgen_tpu.train.loop import SyntheticDataset, check_inputs
@@ -101,7 +143,8 @@ def main(argv=None):
         from infgen_tpu.data.features import build_model_inputs
         from infgen_tpu.metrics.features import compute_metric_features
         from infgen_tpu.metrics.wosac import (
-            WosacConfig, compute_scenario_metrics, make_log_distributions)
+            WosacConfig, aggregate_scenario_metrics, compute_scenario_metrics,
+            make_log_distributions)
         from infgen_tpu.rollout.closed_loop import make_rollout_fn
         from infgen_tpu.train.train_step import Trainer
 
@@ -147,7 +190,8 @@ def main(argv=None):
             scen.agents.valid, scen.agents.shape[:, 0],
             scen.agents.shape[:, 1], scen.agents.slot_mask,
             scen.agents.av_index, inputs.tokens.token_pos,
-            inputs.tokens.state_idx, re, rc))
+            inputs.tokens.state_idx, re, rc,
+            traj_z=scen.agents.elevation))
         sim_feats_fn = jax.jit(lambda o, re, rc: compute_metric_features(
             o["pred_traj"], o["pred_head"], o["pred_valid"],
             o["eval_shape"][:, 0], o["eval_shape"][:, 1], o["slot_active"],
@@ -229,6 +273,28 @@ def main(argv=None):
 
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
 
+        # --- logged (GT) feature distribution, built ONCE for the whole
+        # split (protocol of the reference offline flow: dump_log ->
+        # aggregate_log -> total_features.pkl, compute_metrics.py:1590-1711;
+        # LongMetric loads it at :1206-1217). Scoring each rollout against
+        # per-scenario GT histograms is NOT reference-comparable.
+        if args.log_features:
+            from infgen_tpu.metrics.offline import _load_features
+            log_feats_all = _load_features(args.log_features)
+            print(f"loaded aggregated log features from {args.log_features}")
+        else:
+            # fall back to aggregating over the scenarios being validated
+            # (the split restricted to --num_scenarios)
+            gt_parts = []
+            for i in range(min(args.num_scenarios, len(dataset))):
+                scen_i = dataset[i]
+                inp_i = build(scen_i, jax.random.fold_in(base_rng, 2 * i))
+                gt_parts.append(jax.tree.map(
+                    np.asarray, gt_feats_fn(scen_i, inp_i, None, None)))
+            log_feats_all = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *gt_parts)
+        log_dist = log_dist_fn(log_feats_all)
+
         def scenario_stream():
             """Yield (i, scen, inputs, outs) per scenario."""
             idxs = list(range(min(args.num_scenarios, len(dataset))))
@@ -289,13 +355,27 @@ def main(argv=None):
                     np.asarray(out["pred_type"]), int(out["av_index"]),
                     os.path.join(args.save_dir, "vis"),
                     slot_active=np.asarray(out["slot_active"]))
-
-            # log (GT) features from the scenario itself as the reference
-            # distribution for a self-contained score. Road edges are NOT
-            # passed: the log histograms only cover WosacConfig.fields()
-            # (road bucket excluded from the metametric), so the GT
-            # road-distance tensor would be computed and discarded
-            log_dist = log_dist_fn(gt_feats_fn(scen, inputs, None, None))
+            if os.environ.get("PLOT_EDGE_INFERENCE"):
+                # rollout-side edge-map debug plots (reference
+                # PLOT_EDGE_INFERENCE env, agent_decoder.py:804): dense
+                # attention masks rebuilt host-side from the rollout's
+                # per-column pose/state with the same rules the scan uses
+                from infgen_tpu.utils.visualization import plot_attention_masks
+                pos_a = np.asarray(out["pos_a"])
+                st_a = np.asarray(out["next_state_idx"])
+                active = np.asarray(out["slot_active"])
+                masks = {}
+                for c in (2, pos_a.shape[1] // 2, pos_a.shape[1] - 1):
+                    live = (st_a[:, c] != 0) & active
+                    d2 = ((pos_a[:, c][:, None] - pos_a[:, c][None]) ** 2
+                          ).sum(-1)
+                    masks[f"a2a_col{c}"] = (
+                        (d2 <= cfg.a2a_radius ** 2) & live[None] & live[:, None]
+                        & ~np.eye(pos_a.shape[0], bool))
+                plot_attention_masks(
+                    f"rollout_{i:06d}", masks,
+                    os.environ.get("PLOT_EDGE_DIR",
+                                   os.path.join(args.save_dir, "edge_maps")))
 
             # concat features over rollouts along the agent axis like the
             # reference (compute_metrics.py:905-917)
@@ -320,13 +400,22 @@ def main(argv=None):
 
         val_summary = {k: (s / n if n > 0 else 0.0)
                        for k, (s, n) in val_totals.items()}
+        # scenario-set aggregation + bucketed summary (the reference's
+        # LongMetric.compute schema, compute_metrics.py:1403-1453)
+        wosac = aggregate_scenario_metrics(wcfg, all_metrics)
         with open(os.path.join(args.save_dir, "rollout_metrics.json"), "w") as f:
-            json.dump({"scenarios": all_metrics, "val_metrics": val_summary},
-                      f, indent=2)
-        mean_meta = float(np.mean([m["metametric"] for m in all_metrics]))
+            json.dump({"wosac": wosac, "val_metrics": val_summary,
+                       "scenarios": all_metrics}, f, indent=2)
         print("val metrics: " + " ".join(
             f"{k}={v:.4f}" for k, v in sorted(val_summary.items())))
-        print(f"mean metametric over {len(all_metrics)} scenarios: {mean_meta:.4f}")
+        print("wosac buckets: " + " ".join(
+            f"{k.split('/')[1]}={wosac[k]:.4f}" for k in (
+                "wosac/realism_meta_metric", "wosac/kinematic_metrics",
+                "wosac/interactive_metrics", "wosac/map_based_metrics",
+                "wosac/placement_based_metrics")))
+        print(f"realism metametric over {len(all_metrics)} scenarios "
+              f"(split-aggregated log features): "
+              f"{wosac['wosac/realism_meta_metric']:.4f}")
 
 
 if __name__ == "__main__":

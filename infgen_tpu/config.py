@@ -144,6 +144,10 @@ class Config:
     val_open_loop: bool = False
     val_close_loop: bool = True
     n_rollout_close_val: int = 1
+    # periodic in-training validation cadence (reference
+    # check_val_every_n_epoch=1, run.py:136); 0 disables
+    val_every_n_epochs: int = 1
+    val_num_scenarios: int = 8
 
     # --- TPU-specific: padded static shapes ---
     max_agents: int = 128  # A_max slots incl. room for inserted agents
@@ -151,6 +155,10 @@ class Config:
     num_token_steps: int = 18  # T for training (91 // SHIFT)
 
     # --- TPU-specific: parallelism / precision ---
+    # auxiliary neighbor-grid-cell head: params-only fidelity (the reference
+    # builds it unconditionally, agent_decoder.py:289-290, but its loss is
+    # commented out at infgen.py:494; needed for full checkpoint transplants)
+    use_grid_index_head: bool = True
     use_pallas_attention: bool = False  # fused kernel on eligible eval paths
     # whole-layer fused kernel on the rollout column passes (ops/fused_block)
     use_fused_block: bool = False

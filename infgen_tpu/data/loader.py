@@ -65,6 +65,13 @@ class BatchLoader:
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         order = order[: (n // self.batch_size) * self.batch_size]
+        if len(order) == 0:
+            # len(dataset) < batch_size would otherwise yield nothing and
+            # train() would silently run zero steps per epoch
+            import warnings
+            warnings.warn(
+                f"BatchLoader.epoch: dataset size {n} < batch size "
+                f"{self.batch_size} — epoch yields ZERO batches", stacklevel=2)
         if self.num_workers > 0:
             pool = self._ensure_pool()
             # bounded in-flight window: imap would buffer results without

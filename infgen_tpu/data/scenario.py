@@ -21,6 +21,11 @@ class AgentData(NamedTuple):
 
     valid: jnp.ndarray      # [A, T10] bool
     position: jnp.ndarray   # [A, T10, 2] f32 (x, y)
+    # logged elevation, zeros when the source has none: the reference's GT
+    # metric kinematics are 3D (trajectory_features.py:32-47, fed from
+    # logged z at compute_metrics.py:560+) while simulated z is hardcoded 0
+    # (agent_decoder.py:2338) — the model itself stays planar
+    elevation: jnp.ndarray  # [A, T10] f32 (z)
     heading: jnp.ndarray    # [A, T10] f32
     velocity: jnp.ndarray   # [A, T10, 2] f32
     shape: jnp.ndarray      # [A, 3] f32 (length, width, height) per agent
@@ -79,6 +84,10 @@ def build_scenario(agent_arrays: dict, map_arrays: dict, max_agents: int,
     agents = AgentData(
         valid=pad_axis(agent_arrays["valid"], A).astype(bool),
         position=pad_axis(agent_arrays["position"], A).astype(np.float32),
+        elevation=pad_axis(agent_arrays.get(
+            "elevation",
+            np.zeros(agent_arrays["valid"].shape, np.float32)), A
+        ).astype(np.float32),
         heading=pad_axis(agent_arrays["heading"], A).astype(np.float32),
         velocity=pad_axis(agent_arrays["velocity"], A).astype(np.float32),
         shape=pad_axis(agent_arrays["shape"], A).astype(np.float32),

@@ -81,6 +81,9 @@ def pkl_to_scenario(data: dict, cfg: Config, map_tokenizer: MapTokenizer,
         valid=valid, position=position[..., :2], heading=heading,
         velocity=velocity[..., :2], shape=static_shape, type=type_,
         av_index=av_idx, train_mask=train_mask,
+        # logged z for 3D GT metric kinematics (compute_metrics.py:560+)
+        elevation=(position[..., 2] if position.shape[-1] > 2
+                   else np.zeros_like(heading)),
     )
 
     # --- map: cached tokenization if the pkl carries it (our preprocess

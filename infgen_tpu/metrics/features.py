@@ -259,14 +259,20 @@ class MetricFeatures(NamedTuple):
 
 def compute_metric_features(traj_xy, traj_heading, valid, length, width,
                             slot_mask, av_index, token_pos, token_state,
-                            road_edge_polylines=None, road_edge_cyclic=None
-                            ) -> MetricFeatures:
+                            road_edge_polylines=None, road_edge_cyclic=None,
+                            traj_z=None) -> MetricFeatures:
     """Features from one rollout.
 
     traj_xy [A, T10, 2] full 10 Hz trajectory (history + future);
     valid [A, T10]; length/width [A]; token_pos [A, T_tok, 2];
     token_state [A, T_tok]. Mirrors compute_metric_features
-    (compute_metrics.py:560-706), with z == 0.
+    (compute_metrics.py:560-706).
+
+    traj_z [A, T10]: elevation for 3D linear speed/accel (the reference's
+    kinematics are 3D, trajectory_features.py:32-47). Pass the logged z for
+    GT/log features; omit for simulated rollouts — the reference hardcodes
+    sim pred_z = 0 (agent_decoder.py:2338), so sim kinematics are planar on
+    both sides.
 
     road_edge_polylines [L, S, 4] + road_edge_cyclic [L] (pack_polylines
     output) enable the map bucket (distance_to_road_edge / offroad_per_step,
@@ -275,7 +281,7 @@ def compute_metric_features(traj_xy, traj_heading, valid, length, width,
     when scenario_log is None, :626-628).
     """
     x, y = traj_xy[..., 0], traj_xy[..., 1]
-    z = jnp.zeros_like(x)
+    z = jnp.zeros_like(x) if traj_z is None else traj_z
     cut = CURRENT_TIME_INDEX + 1
 
     ls, la, as_, aa = compute_kinematic_features(x, y, z, traj_heading)

@@ -22,7 +22,12 @@ import numpy as np
 from infgen_tpu.config import Config, load_config
 from infgen_tpu.data.features import build_model_inputs
 from infgen_tpu.metrics.features import MetricFeatures, compute_metric_features
-from infgen_tpu.metrics.wosac import WosacConfig, compute_scenario_metrics, make_log_distributions
+from infgen_tpu.metrics.wosac import (
+    WosacConfig,
+    aggregate_scenario_metrics,
+    compute_scenario_metrics,
+    make_log_distributions,
+)
 
 _FIELDS = MetricFeatures._fields
 
@@ -52,7 +57,8 @@ def dump_log_features(dataset, cfg: Config, out_dir: str):
         scen.agents.position[..., :2], scen.agents.heading, scen.agents.valid,
         scen.agents.shape[:, 0], scen.agents.shape[:, 1],
         scen.agents.slot_mask, scen.agents.av_index,
-        inputs.tokens.token_pos, inputs.tokens.state_idx, re, rc))
+        inputs.tokens.token_pos, inputs.tokens.state_idx, re, rc,
+        traj_z=scen.agents.elevation))
 
     for i in range(len(dataset)):
         out = os.path.join(out_dir, f"log_features_{i:06d}.npz")
@@ -106,10 +112,9 @@ def compute_metrics_offline(rollout_dir: str, total_features_path: str,
         results.append(m)
 
     out_path = out_path or os.path.join(rollout_dir, "wosac_metrics.json")
-    summary = {}
-    if results:
-        keys = [k for k in results[0] if isinstance(results[0][k], float)]
-        summary = {k: float(np.mean([r[k] for r in results])) for k in keys}
+    # scenario-set aggregation + bucketed summary (LongMetric.compute schema,
+    # compute_metrics.py:1403-1453; parity: tests/test_wosac_aggregate.py)
+    summary = aggregate_scenario_metrics(wcfg, results) if results else {}
     with open(out_path, "w") as fo:
         json.dump({"summary": summary, "scenarios": results}, fo, indent=2)
     print(json.dumps(summary, indent=2))
@@ -148,8 +153,14 @@ def main(argv=None):
     p.add_argument("--log_dir", default="runs/log_features")
     p.add_argument("--rollout_dir", default="runs/default")
     p.add_argument("--num_scenarios", type=int, default=16)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend "
+                   "(the env JAX_PLATFORMS=cpu is overridden in some "
+                   "session setups; this uses jax.config)")
     args = p.parse_args(argv)
 
+    if args.cpu:
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
     from infgen_tpu.utils.jax_setup import enable_compile_cache
     enable_compile_cache()
     cfg = load_config(args.config) if args.config else Config()

@@ -119,6 +119,15 @@ class AgentDecoder(nn.Module):
         if cfg.predict_occ:
             self.grid_agent_occ_head = MLPLayer(D, self.grid_size)
             self.grid_pt_occ_head = MLPLayer(D, self.grid_size)
+        if cfg.use_grid_index_head:
+            # auxiliary neighbor-grid-cell head (agent_decoder.py:289-290):
+            # the reference evaluates it on the seed-edge relation embeddings
+            # every training step (:1286-1295) but its loss-add is commented
+            # out (model/infgen.py:494) so the outputs are dead; the PARAMS
+            # exist in reference checkpoints, so full checkpoint transplants
+            # need them — materialized at init via __call__, computable via
+            # grid_index_logits()
+            self.grid_index_head = MLPLayer(D, self.grid_size)
 
     # ------------------------------------------------------------------ #
     # embedding tables and fused features
@@ -380,6 +389,14 @@ class AgentDecoder(nn.Module):
                 x, None, r_aa, a2a_mask, True)
             new_cols.append(x)
         return jnp.stack(new_cols), x
+
+    def grid_index_logits(self, r_emb):
+        """Auxiliary neighbor-grid-cell prediction from a relation embedding
+        (the reference applies grid_index_head to the seed-edge portions of
+        r_a2a / r_pl2a, agent_decoder.py:1286-1295). Exposed for parity and
+        diagnostics; not wired into the loss (reference infgen.py:494 is
+        commented out)."""
+        return self.grid_index_head(r_emb)
 
     def prefill_column(self, x_c):
         """Zero-aggregate trunk chain for history column 0 of the rollout.
@@ -648,6 +665,12 @@ class AgentDecoder(nn.Module):
         if cfg.predict_occ:
             occ_agent_logits = self.grid_agent_occ_head(seed_feat)
             occ_pt_logits = self.grid_pt_occ_head(seed_feat)
+        if cfg.use_grid_index_head and self.is_initializing():
+            # init-only: create the aux head's params (dead outputs; see
+            # setup). The reference computes dense logits per step and
+            # discards them (:1286-1295 + infgen.py:494) — skipping the dead
+            # compute in the hot path is free fidelity.
+            self.grid_index_head(jnp.zeros((1, self.cfg.hidden_dim)))
 
         # ---- refine stage (agent_decoder.py:1304-1385) ----
         # sample pseudo-seed rows: up to 10 random non-invalid in-grid rows per

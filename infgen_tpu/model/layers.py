@@ -281,8 +281,10 @@ def dense_attention_zero_agg(p, x, bipartite: bool = False, dtype=None):
         y = y * q["scale"].astype(jnp.float32) + q["bias"].astype(jnp.float32)
         return y.astype(dtype if dtype is not None else v.dtype)
 
-    if dtype is not None:
-        x = x.astype(dtype)
+    # keep the residual carrier in the INPUT dtype: the module adds the fp32
+    # input to the (bf16) postnorm output, promoting to fp32 — casting x to
+    # bf16 here would accumulate extra rounding on the residual path. Only
+    # matmul operands are cast (via ln()'s output dtype and cast()).
     ln_dst = p["prenorm_dst"] if bipartite else p["prenorm_src"]
     dst_n = ln(x, ln_dst)
     HD = p["to_s"]["kernel"].shape[1]

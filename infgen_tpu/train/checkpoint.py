@@ -16,18 +16,32 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5,
-                 save_interval_steps: int = 1000):
+                 save_interval_steps: int = 1000, best_fn=None,
+                 best_mode: str = "min"):
+        """best_fn: optional metrics-dict -> float; when given, orbax keeps
+        the max_to_keep BEST checkpoints by that value (pass metrics= to
+        save()) instead of the most recent — the monitored-checkpoint mode
+        (reference ModelCheckpoint save_top_k/monitor, run.py:119-126)."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
-            save_interval_steps=save_interval_steps,
+            save_interval_steps=1 if best_fn else save_interval_steps,
+            best_fn=best_fn,
+            best_mode=best_mode,
             create=True,
         )
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state) -> bool:
-        return self.mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(self, step: int, state, force: bool = False,
+             metrics: Optional[dict] = None) -> bool:
+        """force=True bypasses orbax's internal should_save re-check —
+        REQUIRED for terminal saves: CheckpointManager.save() silently
+        discards steps off the save interval otherwise, so an end-of-training
+        save at e.g. step 800 with interval 1000 would be a no-op and resume
+        would restore near-initial weights."""
+        return self.mgr.save(step, args=ocp.args.StandardSave(state),
+                             force=force, metrics=metrics)
 
     def restore(self, state_template, step: Optional[int] = None):
         step = step if step is not None else self.mgr.latest_step()

@@ -56,8 +56,14 @@ class OverfitDataset:
 def train(cfg: Config, dataset, save_dir: str = "runs/default",
           max_steps: Optional[int] = None, log_every: int = 10,
           resume: bool = True, log_fn: Optional[Callable] = None,
-          pretrain_ckpt: Optional[str] = None):
-    """Run training; returns the final TrainState."""
+          pretrain_ckpt: Optional[str] = None, val_dataset=None):
+    """Run training; returns the final TrainState.
+
+    val_dataset enables periodic open-loop validation every
+    cfg.val_every_n_epochs epochs (reference check_val_every_n_epoch=1,
+    run.py:136) with val records in metrics.jsonl and best-k monitored
+    checkpoints (val loss) in <save_dir>/ckpt_best alongside the recency /
+    interval checkpoints in <save_dir>/ckpt (run.py:119-126)."""
     import dataclasses
 
     from infgen_tpu.utils.backup import backup_source
@@ -89,6 +95,13 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
     rng = jax.random.PRNGKey(cfg.seed)
     state = trainer.init_state(rng, dataset[0])
     ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
+    ckpt_best = None
+    if val_dataset is not None and cfg.val_every_n_epochs > 0:
+        # monitored best-k checkpoints by validation loss (reference
+        # ModelCheckpoint save_top_k=5 / monitor, run.py:119-126)
+        ckpt_best = CheckpointManager(
+            os.path.join(save_dir, "ckpt_best"), max_to_keep=5,
+            best_fn=lambda m: m["val_loss"], best_mode="min")
     if pretrain_ckpt:
         # weights-only non-strict warm start (reference run.py --pretrain_ckpt
         # -> load_state_from_file, model/infgen.py:876-916): restore RAW so a
@@ -175,10 +188,27 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
                 if ckpt.should_save(step):
                     ckpt.save(step, jax.device_get(state))
                 if max_steps and step >= max_steps:
-                    ckpt.save(step, jax.device_get(state))
+                    # force: orbax's internal should_save would silently
+                    # discard an off-interval terminal step (see
+                    # CheckpointManager.save)
+                    ckpt.save(step, jax.device_get(state), force=True)
                     ckpt.wait()
                     return state
-        ckpt.save(step, jax.device_get(state))
+            if ckpt_best is not None and (epoch + 1) % cfg.val_every_n_epochs == 0:
+                val_out = validate_open_loop(
+                    trainer, state, val_dataset,
+                    num_scenarios=cfg.val_num_scenarios, log_fn=log_fn)
+                val_rec = {f"val/{k}": round(float(v), 6)
+                           for k, v in val_out.items()}
+                val_rec.update(step=step, epoch=epoch)
+                if metrics_log:
+                    metrics_log.write(json.dumps(val_rec) + "\n")
+                    metrics_log.flush()
+                if wandb_run is not None:
+                    wandb_run.log(val_rec, step=step)
+                ckpt_best.save(step, jax.device_get(state), force=True,
+                               metrics={"val_loss": float(val_out["loss"])})
+        ckpt.save(step, jax.device_get(state), force=True)
         ckpt.wait()
         return state
     finally:

@@ -86,7 +86,8 @@ def main():
     gt_fn = jax.jit(lambda s, i: compute_metric_features(
         s.agents.position[..., :2], s.agents.heading, s.agents.valid,
         s.agents.shape[:, 0], s.agents.shape[:, 1], s.agents.slot_mask,
-        s.agents.av_index, i.tokens.token_pos, i.tokens.state_idx))
+        s.agents.av_index, i.tokens.token_pos, i.tokens.state_idx,
+        traj_z=s.agents.elevation))
     log_dists = []
     for i in range(B):
         f = gt_fn(scens[i], jax.tree.map(lambda x, i=i: x[i], inputs_b))

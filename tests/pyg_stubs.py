@@ -196,10 +196,19 @@ def install():
     tg.nn = mod("torch_geometric.nn")
     tg.nn.conv = mod("torch_geometric.nn.conv", MessagePassing=MessagePassing)
     tg.nn.MessagePassing = MessagePassing
+    def degree(index, num_nodes=None, dtype=None):
+        n = int(index.max()) + 1 if num_nodes is None else int(num_nodes)
+        out = torch.zeros(n, dtype=dtype or torch.long)
+        return out.scatter_add_(0, index.long(),
+                                torch.ones_like(index, dtype=out.dtype))
+
     tg.utils = mod("torch_geometric.utils", softmax=scatter_softmax,
-                   dense_to_sparse=dense_to_sparse, subgraph=subgraph)
+                   dense_to_sparse=dense_to_sparse, subgraph=subgraph,
+                   degree=degree)
     tg.data = mod("torch_geometric.data", HeteroData=FakeHeteroData, Batch=Batch,
                   Dataset=object)
+    tg.transforms = mod("torch_geometric.transforms", BaseTransform=object)
+    tg.loader = mod("torch_geometric.loader", DataLoader=object)
     mod("torch_cluster", radius=radius, radius_graph=radius_graph)
 
     # the reference's visualization module drags in tensorflow/seaborn/waymo

@@ -196,6 +196,8 @@ def transplant_agent_decoder(params, ref, cfg):
     if cfg.predict_occ:
         _copy_mlp_layer(params["grid_agent_occ_head"], ref.grid_agent_occ_head)
         _copy_mlp_layer(params["grid_pt_occ_head"], ref.grid_pt_occ_head)
+    if "grid_index_head" in params:
+        _copy_mlp_layer(params["grid_index_head"], ref.grid_index_head)
 
 
 # --------------------------------------------------------------------- #
