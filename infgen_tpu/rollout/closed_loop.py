@@ -385,10 +385,22 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # insertion iterations
         r_pl_emb = apply_dec(params, AgentDecoder.embed_pl2sa_r, pl_r_raw)
 
-        def eval_seed(carry):
+        def eval_seed(carry, p_used):
             """One seed-head evaluation: the reference's per-iteration seed
             stack + heads + grid-cell sampling (agent_decoder.py:1833-1905).
-            Returns the insertion proposal; consumes one rng draw."""
+
+            Occupied-cell rejections are retried HERE with fresh multinomial
+            draws instead of re-running the seed stack: the reference's
+            rejection path (`continue`, :1906-1909) restores feat_a and loops
+            back to an eval over IDENTICAL inputs — same logits, only the
+            torch.multinomial draw differs — so one retry == one fresh draw
+            from the same top-k, and each retry consumes one unit of the
+            shared insert_limit budget exactly like the reference's p counter
+            (:1775-1776). This keeps rejected iterations at ~4 ops instead of
+            a full seed-stack + insert + refine pass, which is the difference
+            between trained-model rollouts being insertion-bound or not.
+            p_used: budget already consumed; returns n_draws (>= 1) in the
+            proposal."""
             rng, r1 = jax.random.split(carry.rng)
             carry = carry._replace(rng=rng)
 
@@ -428,38 +440,55 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             shape_pred = heads["shape"]
 
             if cfg.use_grid_token:
-                g_idx = sample_from_topk(r1,
-                                         jax.nn.softmax(heads["pos_logits"]),
-                                         cfg.insert_beam_size)
+                pos_probs = jax.nn.softmax(heads["pos_logits"])
+                g0 = sample_from_topk(r1, pos_probs, cfg.insert_beam_size)
+
+                def retry_cond(s):
+                    _, _, occ, n = s
+                    return occ & (p_used + n < cfg.insert_limit)
+
+                def retry_body(s):
+                    rng_s, _, _, n = s
+                    rng_s, rs = jax.random.split(rng_s)
+                    g = sample_from_topk(rs, pos_probs, cfg.insert_beam_size)
+                    return rng_s, g, occ_vec[g], n + 1
+
+                rng2, r_retry = jax.random.split(carry.rng)
+                carry = carry._replace(rng=rng2)
+                _, g_idx, occupied, n_draws = jax.lax.while_loop(
+                    retry_cond, retry_body,
+                    (r_retry, g0, occ_vec[g0], jnp.int32(1)))
                 next_pos = _decode_pos(g_idx, ego_pos, ego_head)
-                occupied = occ_vec[g_idx]
             else:
                 g_idx = jnp.int32(-1)
                 next_pos = heads["pos_xy"] * cfg.pl2seed_radius + ego_pos
                 occupied = jnp.bool_(False)
+                n_draws = jnp.int32(1)
             # stop when the head declines or no free slot remains
             stop = ~want_enter | carry.slot_active.all()
             return carry, dict(enter_prob=enter_prob, type_idx=type_idx,
                                shape=shape_pred, g_idx=g_idx,
                                next_pos=next_pos, occupied=occupied,
-                               stop=stop)
+                               n_draws=n_draws, stop=stop)
 
         def iter_body(loop):
-            """Insert the current proposal (if its cell is free), then
-            evaluate the next one. The expensive insert + heading/offset
-            refine machinery only executes inside this loop — a step where
-            the seed head immediately declines pays exactly one seed
-            evaluation and zero insert/refine passes (the reference breaks
-            before refine the same way, agent_decoder.py:1914)."""
+            """Insert the current (free-cell) proposal, then evaluate the
+            next one. The expensive insert + heading/offset refine machinery
+            only executes inside this loop — a step where the seed head
+            immediately declines pays exactly one seed evaluation and zero
+            insert/refine passes (the reference breaks before refine the
+            same way, agent_decoder.py:1914), and occupied-cell rejections
+            are absorbed by eval_seed's cheap in-place retries."""
             carry, prop, n_new, probs, p = loop
 
             free = ~carry.slot_active
             slot = jnp.argmax(free)
-            do_insert = ~prop["occupied"]
+            # masked writes (belt and braces: under a vmapped rollout the
+            # while_loop batching rule applies the body to already-stopped
+            # elements and selects the old carry; the mask keeps the
+            # discarded computation well-defined)
+            do_insert = ~prop["occupied"] & ~prop["stop"]
 
-            # masked row writes instead of lax.cond: under a vmapped
-            # (batched) rollout, cond becomes a select over the ENTIRE
-            # ~50MB carry per iteration — catastrophic HBM traffic
             carry = _do_insert(params, carry, c, slot, do_insert,
                                prop["next_pos"], prop["g_idx"],
                                prop["type_idx"], prop["shape"], ego_pos,
@@ -470,31 +499,34 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             probs = probs.at[n_new + 1].set(
                 jnp.where(do_insert, prop["enter_prob"], probs[n_new + 1]))
             n_new = n_new + do_insert.astype(jnp.int32)
-            carry, prop = eval_seed(carry)
-            return carry, prop, n_new, probs, p + 1
+            carry, prop = eval_seed(carry, p)
+            return carry, prop, n_new, probs, p + prop["n_draws"]
 
-        # while_loop (not fori): exits as soon as the seed head says stop.
-        # Under a vmapped rollout JAX keeps iterating until every batch
-        # element has stopped, with per-element effects already masked.
-        # Budget semantics match the reference exactly: its while loop
-        # increments p at the top of EVERY iteration (agent_decoder.py:1775)
-        # and breaks at p-1 >= insert_limit (:1776), so an occupied-cell
-        # rejection (`continue`, :1906-1909) consumes one of the <=10
-        # iterations there too. Verified by tests/test_rollout_parity.py
-        # insert mode: with insert_beam_size=1 the argmax cell repeats, both
-        # sides burn most of the budget on rejections, and per-step insertion
-        # counts still match bitwise. The one residual ordering difference:
-        # the reference checks occupancy BEFORE the all-invalid stop (:1906
-        # vs :1914), this loop checks stop first — they diverge only when a
-        # proposal is simultaneously occupied AND stop-flagged, in which case
-        # the reference keeps burning budget on a proposal it would never
-        # insert while this loop exits early (no insertion either way).
+        # while_loop (not fori): exits as soon as the seed head says stop,
+        # the budget runs out, or a proposal's retries exhausted the budget
+        # while occupied. Budget semantics match the reference exactly: its
+        # while loop increments p at the top of EVERY iteration
+        # (agent_decoder.py:1775) and breaks at p-1 >= insert_limit (:1776),
+        # so each seed-stack eval — including occupied-cell rejection
+        # retries, which there are full re-evals over unchanged inputs —
+        # consumes one of the <=10 units; here every multinomial draw
+        # consumes one unit (eval_seed docstring). Verified by
+        # tests/test_rollout_parity.py insert mode: with insert_beam_size=1
+        # the argmax cell repeats, both sides burn most of the budget on
+        # rejections, and per-step insertion counts still match bitwise.
+        # The one residual ordering difference: the reference checks
+        # occupancy BEFORE the all-invalid stop (:1906 vs :1914), this loop
+        # checks stop first — they diverge only when a proposal is
+        # simultaneously occupied AND stop-flagged, where the reference
+        # keeps burning budget on a proposal it would never insert while
+        # this loop exits early (no insertion either way).
         probs0 = jnp.zeros((cfg.insert_limit + 1,))
-        carry, prop0 = eval_seed(carry)
+        carry, prop0 = eval_seed(carry, jnp.int32(0))
         carry, _, n_new, probs, _ = jax.lax.while_loop(
-            lambda loop: (loop[4] < cfg.insert_limit) & ~loop[1]["stop"],
+            lambda loop: (loop[4] <= cfg.insert_limit) & ~loop[1]["stop"]
+            & ~loop[1]["occupied"],
             iter_body,
-            (carry, prop0, jnp.int32(0), probs0, jnp.int32(0)))
+            (carry, prop0, jnp.int32(0), probs0, prop0["n_draws"]))
         carry = carry._replace(n_inserted=carry.n_inserted + n_new)
         return carry, n_new, probs
 

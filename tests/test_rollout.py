@@ -83,3 +83,25 @@ def test_rollout_insertion_counts(setup):
     n_active = int(np.asarray(out["slot_active"]).sum())
     assert n_active <= cfg.max_agents
     assert n_active >= min(n_initial, n_active)
+
+def test_rollout_quirks_off(setup):
+    """ref_rollout_quirks=False (the 'repaired' semantics: full temporal
+    attention for all rows, real type/shape categorical embeddings every
+    column) compiles, runs, and keeps the same invariants."""
+    cfg, scenario, inputs, _ = setup
+    cfg2 = cfg.replace(ref_rollout_quirks=False)
+    attr = AttrTokenizer(cfg2.grid_range, cfg2.grid_interval,
+                         cfg2.pl2seed_radius, cfg2.angle_interval)
+    mt = MotionTokenizer()
+    map_vocab = load_map_vocab()
+    model = InfGenModel(cfg2, attr.grid, attr.grid_size, attr.angle_size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        jax.random.PRNGKey(2), deterministic=True)
+    rollout = make_rollout_fn(model, cfg2, attr, mt, map_vocab, jit=True)
+    out = rollout(variables["params"], scenario, inputs, jax.random.PRNGKey(7))
+    state = np.asarray(out["next_state_idx"])
+    pos = np.asarray(out["pos_a"])
+    assert np.all(pos[state == INVALID_STATE] == 0)
+    assert bool(jnp.isfinite(out["pred_traj"]).all())
