@@ -454,6 +454,51 @@ class AgentDecoder(nn.Module):
             ag = self._zero_agg(self.a2sa_attn_layers[i], ag)
         return sd
 
+    def seed_key_chain(self, agent_col):
+        """[num_seed_layers, A, D]: the agent-row key snapshots each a2sa
+        layer of the seed stack consumes.
+
+        Agent rows have no incident edges in the seed stack (zero-aggregate
+        only, see seed_column), so their transform chain is independent of
+        the seed query, the occupancy vector, and the map keys. The rollout
+        computes this ONCE per step and patches the single inserted row
+        between insertion iterations — eval_seed's cost then excludes the
+        9x [A, D] zero-agg chain the reference recomputes per iteration.
+        Exact equivalence with seed_column: tests/test_model.py.
+        """
+        cfg = self.cfg
+        ag = agent_col
+        keys = []
+        for i in range(cfg.num_seed_layers):
+            if cfg.use_grid_token:
+                ag = self._zero_agg(self.occ2sa_attn_layers[i], ag)
+            ag = self._zero_agg(self.pt2sa_attn_layers[i], ag)
+            keys.append(ag)
+            ag = self._zero_agg(self.a2sa_attn_layers[i], ag)
+        return jnp.stack(keys)
+
+    def seed_column_cached(self, ag_keys, seed_vec, occ_vec, pl_keys_mask,
+                           r_pl, a2sa_r_raw, a2sa_mask, x_pt):
+        """seed_column with precomputed agent key snapshots (seed_key_chain):
+        runs ONLY the seed row through the stack. Identical math."""
+        cfg = self.cfg
+        r_sa = self.r_a2sa_emb(a2sa_r_raw)         # [A, D]
+        occ_emb = (self.seed_agent_occ_embed(occ_vec.astype(jnp.float32))
+                   if cfg.use_grid_token else None)
+        sd = seed_vec
+        for i in range(cfg.num_seed_layers):
+            if occ_emb is not None:
+                sd = self.occ2sa_attn_layers[i](
+                    sd[None, :], occ_emb[None, :], None,
+                    jnp.ones((1, 1), bool), True)[0]
+            sd = self.pt2sa_attn_layers[i](
+                sd[None, :], x_pt, r_pl, pl_keys_mask[None, :],
+                True)[0]
+            sd = self.a2sa_attn_layers[i](
+                sd[None, :], ag_keys[i], r_sa, a2sa_mask[None, :],
+                True)[0]
+        return sd
+
     def refine_column(self, x_col, query_onehot, pl_keys, pl_r_raw, pl_mask,
                       a2a_idx, a2a_r_raw, a2a_mask, x_pt):
         """Heading/offset refine for one column (agent_decoder.py:2050-2058).

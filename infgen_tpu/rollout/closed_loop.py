@@ -384,8 +384,15 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # loop-invariant map->seed geometry embedding, hoisted out of the
         # insertion iterations
         r_pl_emb = apply_dec(params, AgentDecoder.embed_pl2sa_r, pl_r_raw)
+        # agent-row key snapshots for the seed stack, computed ONCE per step
+        # (they are zero-aggregate chains independent of the seed query);
+        # only the inserted row is patched between iterations — the
+        # reference recomputes the full chain on every iteration
+        ag_keys0 = apply_dec(params, AgentDecoder.seed_key_chain,
+                             jax.lax.dynamic_index_in_dim(
+                                 carry.raw_feat, c, 1, False))
 
-        def eval_seed(carry, p_used):
+        def eval_seed(carry, ag_keys, p_used):
             """One seed-head evaluation: the reference's per-iteration seed
             stack + heads + grid-cell sampling (agent_decoder.py:1833-1905).
 
@@ -423,10 +430,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 wrap_angle(head_c - ego_head),
             ], axis=-1)
 
-            agent_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1,
-                                                     False)
-            seed_feat = apply_dec(params, AgentDecoder.seed_column,
-                                  agent_col, seed_vec, occ_vec, pl_mask,
+            seed_feat = apply_dec(params, AgentDecoder.seed_column_cached,
+                                  ag_keys, seed_vec, occ_vec, pl_mask,
                                   r_pl_emb, a2sa_r_raw, a2sa_mask, x_pt)
             heads = apply_dec(params, AgentDecoder.seed_heads, seed_feat)
 
@@ -479,7 +484,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             insert/refine passes (the reference breaks before refine the
             same way, agent_decoder.py:1914), and occupied-cell rejections
             are absorbed by eval_seed's cheap in-place retries."""
-            carry, prop, n_new, probs, p = loop
+            carry, prop, n_new, probs, p, ag_keys = loop
 
             free = ~carry.slot_active
             slot = jnp.argmax(free)
@@ -489,18 +494,22 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             # discarded computation well-defined)
             do_insert = ~prop["occupied"] & ~prop["stop"]
 
-            carry = _do_insert(params, carry, c, slot, do_insert,
-                               prop["next_pos"], prop["g_idx"],
-                               prop["type_idx"], prop["shape"], ego_pos,
-                               ego_head, x_pt, pt_pos, pt_orient, pt_mask,
-                               tables, av)
+            carry, new_feat = _do_insert(
+                params, carry, c, slot, do_insert, prop["next_pos"],
+                prop["g_idx"], prop["type_idx"], prop["shape"], ego_pos,
+                ego_head, x_pt, pt_pos, pt_orient, pt_mask, tables, av)
+            # patch the inserted row's seed-stack key snapshots
+            row_chain = apply_dec(params, AgentDecoder.seed_key_chain,
+                                  new_feat[None, :])[:, 0]       # [L, D]
+            ag_keys = ag_keys.at[:, slot].set(
+                jnp.where(do_insert, row_chain, ag_keys[:, slot]))
             # reference records the enter prob at index num_new_agents after a
             # successful insert (agent_decoder.py:2105)
             probs = probs.at[n_new + 1].set(
                 jnp.where(do_insert, prop["enter_prob"], probs[n_new + 1]))
             n_new = n_new + do_insert.astype(jnp.int32)
-            carry, prop = eval_seed(carry, p)
-            return carry, prop, n_new, probs, p + prop["n_draws"]
+            carry, prop = eval_seed(carry, ag_keys, p)
+            return carry, prop, n_new, probs, p + prop["n_draws"], ag_keys
 
         # while_loop (not fori): exits as soon as the seed head says stop,
         # the budget runs out, or a proposal's retries exhausted the budget
@@ -521,12 +530,12 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # keeps burning budget on a proposal it would never insert while
         # this loop exits early (no insertion either way).
         probs0 = jnp.zeros((cfg.insert_limit + 1,))
-        carry, prop0 = eval_seed(carry, jnp.int32(0))
-        carry, _, n_new, probs, _ = jax.lax.while_loop(
+        carry, prop0 = eval_seed(carry, ag_keys0, jnp.int32(0))
+        carry, _, n_new, probs, _, _ = jax.lax.while_loop(
             lambda loop: (loop[4] <= cfg.insert_limit) & ~loop[1]["stop"]
             & ~loop[1]["occupied"],
             iter_body,
-            (carry, prop0, jnp.int32(0), probs0, prop0["n_draws"]))
+            (carry, prop0, jnp.int32(0), probs0, prop0["n_draws"], ag_keys0))
         carry = carry._replace(n_inserted=carry.n_inserted + n_new)
         return carry, n_new, probs
 
@@ -686,7 +695,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         carry = carry._replace(raw_feat=carry.raw_feat.at[slot].set(
             jax.lax.dynamic_update_index_in_dim(carry.raw_feat[slot],
                                                 new_row_c, c, 0)))
-        return carry
+        return carry, new_row_c
 
     def _decode_heading(idx):
         return (idx * cfg.angle_interval - 180.0) / 360.0 * (2 * jnp.pi)

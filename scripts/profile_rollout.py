@@ -73,6 +73,8 @@ def main():
     res = {}
     variants = {
         "motion_only": dict(cfg=cfg.replace(disable_insertion=True)),
+        "eval_only": dict(cfg=cfg.replace(insert_limit=0)),   # 1 seed eval/step
+        "one_insert": dict(cfg=cfg.replace(insert_limit=1)),
         "default": dict(cfg=cfg),
         "forced": dict(cfg=cfg, force_insert=True),
     }

@@ -232,3 +232,46 @@ def test_zero_agg_closed_form_matches_module():
                 np.asarray(out, np.float32), np.asarray(ref, np.float32),
                 atol=1e-5 if dt is None else 4e-3,
                 rtol=1e-6 if dt is None else 2e-3)
+
+def test_seed_column_cached_equivalence():
+    """seed_key_chain + seed_column_cached == seed_column exactly (the
+    rollout caches the zero-agg agent key snapshots per step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from infgen_tpu.config import Config
+    from infgen_tpu.model.agent_decoder import AgentDecoder
+    from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+
+    cfg = Config(max_agents=12, max_map_tokens=32, hidden_dim=32, num_heads=2,
+                 head_dim=16, num_freq_bands=8, num_agent_layers=2,
+                 num_seed_layers=3, num_map_layers=1, dropout=0.0,
+                 grid_range=60.0, grid_interval=3.0, pl2seed_radius=30.0,
+                 remat_attention=False)
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    dec = AgentDecoder(cfg, grid_xy=attr.grid, grid_size=attr.grid_size,
+                       angle_size=attr.angle_size)
+    rng = np.random.default_rng(17)
+    A, P, D = 12, 32, 32
+    agent_col = jnp.asarray(rng.normal(size=(A, D)), jnp.float32)
+    seed_vec = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    occ_vec = jnp.asarray(rng.uniform(size=attr.grid_size) < 0.1)
+    pl_mask = jnp.asarray(rng.uniform(size=P) < 0.7)
+    r_pl = jnp.asarray(rng.normal(size=(P, D)), jnp.float32)
+    a2sa_r_raw = jnp.asarray(rng.normal(size=(A, 3)), jnp.float32)
+    a2sa_mask = jnp.asarray(rng.uniform(size=A) < 0.8)
+    x_pt = jnp.asarray(rng.normal(size=(P, D)), jnp.float32)
+
+    params = dec.init(jax.random.PRNGKey(0), agent_col, seed_vec, occ_vec,
+                      pl_mask, r_pl, a2sa_r_raw, a2sa_mask, x_pt,
+                      method=AgentDecoder.seed_column)
+    full = dec.apply(params, agent_col, seed_vec, occ_vec, pl_mask, r_pl,
+                     a2sa_r_raw, a2sa_mask, x_pt,
+                     method=AgentDecoder.seed_column)
+    chain = dec.apply(params, agent_col, method=AgentDecoder.seed_key_chain)
+    cached = dec.apply(params, chain, seed_vec, occ_vec, pl_mask, r_pl,
+                       a2sa_r_raw, a2sa_mask, x_pt,
+                       method=AgentDecoder.seed_column_cached)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
+                               atol=1e-6, rtol=1e-6)
