@@ -423,6 +423,16 @@ class AgentDecoder(nn.Module):
         while_loop (the reference recomputes per iteration)."""
         return self.r_pt2sa_emb(pl_r_raw)
 
+    def embed_a2sa_r(self, a2sa_r_raw):
+        """Agent->seed relative-geometry embedding; step-invariant except for
+        the inserted row (the rollout's fast seed path patches it)."""
+        return self.r_a2sa_emb(a2sa_r_raw)
+
+    def embed_occ(self, occ_vec):
+        """Occupancy-vector embedding (the occ2sa key); changes only when an
+        agent is inserted."""
+        return self.seed_agent_occ_embed(occ_vec.astype(jnp.float32))
+
     def seed_column(self, agent_col, seed_vec, occ_vec, pl_keys_mask, r_pl,
                     a2sa_r_raw, a2sa_mask, x_pt):
         """Insertion seed stack for one column (agent_decoder.py:1861-1871).

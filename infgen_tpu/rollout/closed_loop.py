@@ -31,7 +31,9 @@ from infgen_tpu.config import (
 )
 from infgen_tpu.model import edges as E
 from infgen_tpu.model.agent_decoder import INVALID_SHAPE_VALUE, SEED_TYPE, map_token_index
+from infgen_tpu.ops import seed_fast as SF
 from infgen_tpu.ops.neighbors import topk_neighbors
+from infgen_tpu.ops.precision import compute_dtype_of
 from infgen_tpu.ops.sampling import sample_from_topk
 from infgen_tpu.utils.geometry import (
     angle_between_2d_vectors,
@@ -121,6 +123,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     token_traj_all = _np.stack([_np.asarray(motion_tok.vocab[k]) for k in ("veh", "ped", "cyc")])
 
     dec_method = lambda fn: (lambda mdl, *a, **k: fn(mdl.agent_decoder, *a, **k))
+    sf_dt = compute_dtype_of(cfg.compute_dtype)   # seed-fast compute dtype
 
     def apply_dec(params, fn, *args):
         return model.apply({"params": params}, *args,
@@ -140,6 +143,18 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         pt_mask = scenario.map.mask
 
         tables = apply_dec(params, AgentDecoder.rollout_tables, motion_tok.vocab)
+
+        # rollout-invariant insertion state: the seed feature vector and the
+        # map-token K/V projections of every pt2sa layer (x_pt never changes
+        # during the rollout; per-step geometry contributions are added in
+        # _insertion)
+        if cfg.disable_insertion:
+            seed_vec = ptkv0 = None
+        else:
+            seed_vec = _seed_vector(params, tables)
+            dp0 = params["agent_decoder"]
+            ptkv0 = [SF.precompute_src_kv(dp0[f"pt2sa_{i}"], x_pt, sf_dt)
+                     for i in range(cfg.num_seed_layers)]
 
         tok = inputs.tokens
         T0 = tok.token_idx.shape[1]
@@ -245,7 +260,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # --- the scan ---
         def body(carry, t):
             carry, out = _step(params, carry, t, x_pt, pt_pos, pt_orient,
-                               pt_mask, tables, av, slot_active)
+                               pt_mask, tables, av, slot_active, seed_vec,
+                               ptkv0)
             return carry, out
 
         raw_feat0 = carry.raw_feat
@@ -363,7 +379,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     # ---------------------------------------------------------------- #
 
     def _insertion(params, carry, c, x_pt, pt_pos, pt_orient, pt_mask,
-                   tables, av):
+                   tables, av, seed_vec, ptkv0):
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         ego_pos = jax.lax.dynamic_index_in_dim(carry.pos[av], c, 0, False)
@@ -380,19 +396,61 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             wrap_angle(pt_orient - ego_head),
         ], axis=-1)
 
-        seed_vec = _seed_vector(params, tables)
-        # loop-invariant map->seed geometry embedding, hoisted out of the
-        # insertion iterations
+        # ---- per-step precompute for the decomposed seed evaluation
+        # (ops/seed_fast.py; exact-equivalence: test_seed_fast_equivalence).
+        # The reference recomputes EVERY projection per iteration; here the
+        # map K/V ride in from the rollout scope (x_pt is rollout-invariant),
+        # geometry contributions and agent-row projections are computed once
+        # per step, and single rows are patched per insert.
+        dp = params["agent_decoder"]
+        L_s = cfg.num_seed_layers
+        # loop-invariant map->seed geometry embedding
         r_pl_emb = apply_dec(params, AgentDecoder.embed_pl2sa_r, pl_r_raw)
-        # agent-row key snapshots for the seed stack, computed ONCE per step
-        # (they are zero-aggregate chains independent of the seed query);
-        # only the inserted row is patched between iterations — the
-        # reference recomputes the full chain on every iteration
+        K_pt, V_pt = [], []
+        for i in range(L_s):
+            kr, vr = SF.r_contrib(dp[f"pt2sa_{i}"], r_pl_emb, sf_dt)
+            K_pt.append(ptkv0[i][0] + kr)
+            V_pt.append(ptkv0[i][1] + vr)
+
+        # agent-row key snapshots (zero-aggregate chains independent of the
+        # seed query), once per step; only the inserted row changes
         ag_keys0 = apply_dec(params, AgentDecoder.seed_key_chain,
                              jax.lax.dynamic_index_in_dim(
                                  carry.raw_feat, c, 1, False))
 
-        def eval_seed(carry, ag_keys, p_used):
+        # step-start occupancy / agent geometry (patched per insert)
+        pos_c0 = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
+        head_c0 = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
+        grid_c0 = jax.lax.dynamic_index_in_dim(carry.grid, c, 1, False)
+        inter_c0 = jax.lax.dynamic_index_in_dim(carry.interact, c, 1, False)
+        occ_vec0 = ((jax.nn.one_hot(jnp.where(grid_c0 >= 0, grid_c0, 0), G)
+                     * ((grid_c0 >= 0) & carry.slot_active)[:, None]).sum(0)
+                    > 0)
+        km0 = inter_c0 & carry.slot_active
+        d_a0 = jnp.linalg.norm(pos_c0 - ego_pos[None], axis=-1)
+        rel_a0 = pos_c0 - ego_pos[None]
+        a2sa_r_raw0 = jnp.stack([
+            d_a0,
+            angle_between_2d_vectors(ego_hv[None], rel_a0),
+            wrap_angle(head_c0 - ego_head),
+        ], axis=-1)
+        r_sa_emb0 = apply_dec(params, AgentDecoder.embed_a2sa_r, a2sa_r_raw0)
+        K_a0, V_a0 = [], []
+        for i in range(L_s):
+            ka, va = SF.precompute_src_kv(dp[f"a2sa_{i}"], ag_keys0[i], sf_dt)
+            kar, var_ = SF.r_contrib(dp[f"a2sa_{i}"], r_sa_emb0, sf_dt)
+            K_a0.append(ka + kar)
+            V_a0.append(va + var_)
+        fast0 = dict(K_a=jnp.stack(K_a0), V_a=jnp.stack(V_a0),
+                     a2sa_mask=km0 & (d_a0 <= cfg.pl2seed_radius),
+                     occ_vec=occ_vec0)
+        if cfg.use_grid_token:
+            occ_emb0 = apply_dec(params, AgentDecoder.embed_occ, occ_vec0)
+            fast0["v_occ"] = jnp.stack([
+                SF.occ_value(dp[f"occ2sa_{i}"], occ_emb0, sf_dt)
+                for i in range(L_s)])
+
+        def eval_seed(carry, fast, p_used):
             """One seed-head evaluation: the reference's per-iteration seed
             stack + heads + grid-cell sampling (agent_decoder.py:1833-1905).
 
@@ -410,30 +468,19 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             proposal."""
             rng, r1 = jax.random.split(carry.rng)
             carry = carry._replace(rng=rng)
+            occ_vec = fast["occ_vec"]
 
-            pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
-            head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
-            grid_c = jax.lax.dynamic_index_in_dim(carry.grid, c, 1, False)
-            inter_c = jax.lax.dynamic_index_in_dim(carry.interact, c, 1, False)
-
-            occ_vec = (jax.nn.one_hot(jnp.where(grid_c >= 0, grid_c, 0), G)
-                       * ((grid_c >= 0) & carry.slot_active)[:, None]).sum(0)
-            occ_vec = (occ_vec > 0)
-
-            km = inter_c & carry.slot_active
-            d_a = jnp.linalg.norm(pos_c - ego_pos[None], axis=-1)
-            a2sa_mask = km & (d_a <= cfg.pl2seed_radius)
-            rel_a = pos_c - ego_pos[None]
-            a2sa_r_raw = jnp.stack([
-                d_a,
-                angle_between_2d_vectors(ego_hv[None], rel_a),
-                wrap_angle(head_c - ego_head),
-            ], axis=-1)
-
-            seed_feat = apply_dec(params, AgentDecoder.seed_column_cached,
-                                  ag_keys, seed_vec, occ_vec, pl_mask,
-                                  r_pl_emb, a2sa_r_raw, a2sa_mask, x_pt)
-            heads = apply_dec(params, AgentDecoder.seed_heads, seed_feat)
+            sd = seed_vec
+            for i in range(L_s):
+                if cfg.use_grid_token:
+                    sd = SF.attn_1q_single_key(dp[f"occ2sa_{i}"], sd,
+                                               fast["v_occ"][i], sf_dt)
+                sd = SF.attn_1q(dp[f"pt2sa_{i}"], sd, K_pt[i], V_pt[i],
+                                pl_mask, cfg.num_heads, sf_dt)
+                sd = SF.attn_1q(dp[f"a2sa_{i}"], sd, fast["K_a"][i],
+                                fast["V_a"][i], fast["a2sa_mask"],
+                                cfg.num_heads, sf_dt, bipartite=False)
+            heads = apply_dec(params, AgentDecoder.seed_heads, sd)
 
             heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
             enter_prob = jax.nn.softmax(heads["state_logits"])[1]
@@ -446,23 +493,28 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
             if cfg.use_grid_token:
                 pos_probs = jax.nn.softmax(heads["pos_logits"])
-                g0 = sample_from_topk(r1, pos_probs, cfg.insert_beam_size)
-
-                def retry_cond(s):
-                    _, _, occ, n = s
-                    return occ & (p_used + n < cfg.insert_limit)
-
-                def retry_body(s):
-                    rng_s, _, _, n = s
-                    rng_s, rs = jax.random.split(rng_s)
-                    g = sample_from_topk(rs, pos_probs, cfg.insert_beam_size)
-                    return rng_s, g, occ_vec[g], n + 1
-
-                rng2, r_retry = jax.random.split(carry.rng)
-                carry = carry._replace(rng=rng2)
-                _, g_idx, occupied, n_draws = jax.lax.while_loop(
-                    retry_cond, retry_body,
-                    (r_retry, g0, occ_vec[g0], jnp.int32(1)))
+                # draw ALL potential retries at once: sequential rejection
+                # retries are i.i.d. draws from the same top-k (the logits
+                # don't change between retries — eval_seed docstring), so
+                # "first free candidate among insert_limit draws, budget
+                # permitting" has the identical joint distribution of
+                # (accepted cell, draws consumed) with no inner while_loop
+                n_cand = max(cfg.insert_limit, 1)  # 0 only in eval-only profiling
+                topk_p, topk_idx = jax.lax.top_k(pos_probs,
+                                                 cfg.insert_beam_size)
+                choices = jax.random.categorical(
+                    r1, jnp.log(jnp.maximum(topk_p, 1e-30)),
+                    shape=(n_cand,))
+                g_cands = topk_idx[choices]                       # [limit]
+                remaining = cfg.insert_limit - p_used
+                in_budget = jnp.arange(n_cand) < remaining
+                free_ok = ~occ_vec[g_cands] & in_budget
+                any_free = free_ok.any()
+                first = jnp.argmax(free_ok)
+                g_idx = g_cands[first]
+                occupied = ~any_free
+                n_draws = jnp.where(any_free, first + 1,
+                                    jnp.maximum(remaining, 1)).astype(jnp.int32)
                 next_pos = _decode_pos(g_idx, ego_pos, ego_head)
             else:
                 g_idx = jnp.int32(-1)
@@ -484,7 +536,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             insert/refine passes (the reference breaks before refine the
             same way, agent_decoder.py:1914), and occupied-cell rejections
             are absorbed by eval_seed's cheap in-place retries."""
-            carry, prop, n_new, probs, p, ag_keys = loop
+            carry, prop, n_new, probs, p, fast = loop
 
             free = ~carry.slot_active
             slot = jnp.argmax(free)
@@ -494,22 +546,54 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             # discarded computation well-defined)
             do_insert = ~prop["occupied"] & ~prop["stop"]
 
-            carry, new_feat = _do_insert(
+            carry, new_feat, ins_pos, ins_head = _do_insert(
                 params, carry, c, slot, do_insert, prop["next_pos"],
                 prop["g_idx"], prop["type_idx"], prop["shape"], ego_pos,
                 ego_head, x_pt, pt_pos, pt_orient, pt_mask, tables, av)
-            # patch the inserted row's seed-stack key snapshots
+
+            # ---- patch the inserted row into the fast-eval state ----
             row_chain = apply_dec(params, AgentDecoder.seed_key_chain,
                                   new_feat[None, :])[:, 0]       # [L, D]
-            ag_keys = ag_keys.at[:, slot].set(
-                jnp.where(do_insert, row_chain, ag_keys[:, slot]))
+            rel = ins_pos - ego_pos
+            d_row = jnp.linalg.norm(rel)
+            r_row_raw = jnp.stack([
+                d_row,
+                angle_between_2d_vectors(ego_hv[None], rel[None])[0],
+                wrap_angle(ins_head - ego_head),
+            ])[None]
+            r_row_emb = apply_dec(params, AgentDecoder.embed_a2sa_r, r_row_raw)
+            K_rows, V_rows = [], []
+            for i in range(L_s):
+                ka, va = SF.precompute_src_kv(dp[f"a2sa_{i}"],
+                                              row_chain[i][None], sf_dt)
+                kar, var_ = SF.r_contrib(dp[f"a2sa_{i}"], r_row_emb, sf_dt)
+                K_rows.append((ka + kar)[0])
+                V_rows.append((va + var_)[0])
+            fast = dict(fast)
+            fast["K_a"] = fast["K_a"].at[:, slot].set(
+                jnp.where(do_insert, jnp.stack(K_rows), fast["K_a"][:, slot]))
+            fast["V_a"] = fast["V_a"].at[:, slot].set(
+                jnp.where(do_insert, jnp.stack(V_rows), fast["V_a"][:, slot]))
+            fast["a2sa_mask"] = fast["a2sa_mask"].at[slot].set(
+                jnp.where(do_insert, d_row <= cfg.pl2seed_radius,
+                          fast["a2sa_mask"][slot]))
+            if cfg.use_grid_token:
+                occ_vec = fast["occ_vec"].at[prop["g_idx"]].set(
+                    jnp.where(do_insert, True,
+                              fast["occ_vec"][prop["g_idx"]]))
+                fast["occ_vec"] = occ_vec
+                occ_emb = apply_dec(params, AgentDecoder.embed_occ, occ_vec)
+                fast["v_occ"] = jnp.stack([
+                    SF.occ_value(dp[f"occ2sa_{i}"], occ_emb, sf_dt)
+                    for i in range(L_s)])
+
             # reference records the enter prob at index num_new_agents after a
             # successful insert (agent_decoder.py:2105)
             probs = probs.at[n_new + 1].set(
                 jnp.where(do_insert, prop["enter_prob"], probs[n_new + 1]))
             n_new = n_new + do_insert.astype(jnp.int32)
-            carry, prop = eval_seed(carry, ag_keys, p)
-            return carry, prop, n_new, probs, p + prop["n_draws"], ag_keys
+            carry, prop = eval_seed(carry, fast, p)
+            return carry, prop, n_new, probs, p + prop["n_draws"], fast
 
         # while_loop (not fori): exits as soon as the seed head says stop,
         # the budget runs out, or a proposal's retries exhausted the budget
@@ -530,12 +614,12 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # keeps burning budget on a proposal it would never insert while
         # this loop exits early (no insertion either way).
         probs0 = jnp.zeros((cfg.insert_limit + 1,))
-        carry, prop0 = eval_seed(carry, ag_keys0, jnp.int32(0))
+        carry, prop0 = eval_seed(carry, fast0, jnp.int32(0))
         carry, _, n_new, probs, _, _ = jax.lax.while_loop(
             lambda loop: (loop[4] <= cfg.insert_limit) & ~loop[1]["stop"]
             & ~loop[1]["occupied"],
             iter_body,
-            (carry, prop0, jnp.int32(0), probs0, prop0["n_draws"], ag_keys0))
+            (carry, prop0, jnp.int32(0), probs0, prop0["n_draws"], fast0))
         carry = carry._replace(n_inserted=carry.n_inserted + n_new)
         return carry, n_new, probs
 
@@ -695,7 +779,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         carry = carry._replace(raw_feat=carry.raw_feat.at[slot].set(
             jax.lax.dynamic_update_index_in_dim(carry.raw_feat[slot],
                                                 new_row_c, c, 0)))
-        return carry, new_row_c
+        return carry, new_row_c, new_pos, new_head
 
     def _decode_heading(idx):
         return (idx * cfg.angle_interval - 180.0) / 360.0 * (2 * jnp.pi)
@@ -723,7 +807,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     # ---------------------------------------------------------------- #
 
     def _step(params, carry, t, x_pt, pt_pos, pt_orient, pt_mask, tables, av,
-              init_active):
+              init_active, seed_vec, ptkv0):
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         c = t + 1  # current column
@@ -736,7 +820,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             carry, n_new, seed_probs = jax.lax.cond(
                 t > 0,
                 lambda cr: _insertion(params, cr, c, x_pt, pt_pos, pt_orient,
-                                      pt_mask, tables, av),
+                                      pt_mask, tables, av, seed_vec, ptkv0),
                 lambda cr: (cr, jnp.int32(0),
                             jnp.zeros((cfg.insert_limit + 1,))),
                 carry)

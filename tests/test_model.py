@@ -275,3 +275,70 @@ def test_seed_column_cached_equivalence():
                        method=AgentDecoder.seed_column_cached)
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
                                atol=1e-6, rtol=1e-6)
+
+def test_seed_fast_equivalence():
+    """ops/seed_fast decomposed evaluation == seed_column exactly: the
+    rollout's per-step/per-insert KV precomputation must not change the
+    seed stack's math (fp32; bf16 differs only by summation order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from infgen_tpu.config import Config
+    from infgen_tpu.model.agent_decoder import AgentDecoder
+    from infgen_tpu.ops import seed_fast as SF
+    from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+
+    cfg = Config(max_agents=12, max_map_tokens=32, hidden_dim=32, num_heads=2,
+                 head_dim=16, num_freq_bands=8, num_agent_layers=2,
+                 num_seed_layers=3, num_map_layers=1, dropout=0.0,
+                 grid_range=60.0, grid_interval=3.0, pl2seed_radius=30.0,
+                 remat_attention=False)
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    dec = AgentDecoder(cfg, grid_xy=attr.grid, grid_size=attr.grid_size,
+                       angle_size=attr.angle_size)
+    rng = np.random.default_rng(23)
+    A, P, D, H = 12, 32, 32, 2
+    agent_col = jnp.asarray(rng.normal(size=(A, D)), jnp.float32)
+    seed_vec = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    occ_vec = jnp.asarray(rng.uniform(size=attr.grid_size) < 0.1)
+    pl_mask = jnp.asarray(rng.uniform(size=P) < 0.7)
+    pl_r_raw = jnp.asarray(rng.normal(size=(P, 3)), jnp.float32)
+    a2sa_r_raw = jnp.asarray(rng.normal(size=(A, 3)), jnp.float32)
+    a2sa_mask = jnp.asarray(rng.uniform(size=A) < 0.8)
+    x_pt = jnp.asarray(rng.normal(size=(P, D)), jnp.float32)
+
+    r_pl = dec.init(jax.random.PRNGKey(0), pl_r_raw,
+                    method=AgentDecoder.embed_pl2sa_r)  # throwaway init
+    variables = dec.init(jax.random.PRNGKey(0), agent_col, seed_vec, occ_vec,
+                         pl_mask, jnp.zeros((P, D)), a2sa_r_raw, a2sa_mask,
+                         x_pt, method=AgentDecoder.seed_column)
+    # the seed_column init above doesn't create the r_pt2sa/r_a2sa/occ embs;
+    # init the full set via a wrapper that touches everything
+    def init_all(mdl):
+        r_pl = mdl.embed_pl2sa_r(pl_r_raw)
+        r_sa = mdl.embed_a2sa_r(a2sa_r_raw)
+        occ_emb = mdl.embed_occ(occ_vec)
+        chain = mdl.seed_key_chain(agent_col)
+        out = mdl.seed_column(agent_col, seed_vec, occ_vec, pl_mask, r_pl,
+                              a2sa_r_raw, a2sa_mask, x_pt)
+        return out, (r_pl, r_sa, occ_emb, chain)
+    variables = dec.init(jax.random.PRNGKey(0), method=init_all)
+    ref_out, (r_pl, r_sa, occ_emb, chain) = dec.apply(variables,
+                                                      method=init_all)
+
+    p = variables["params"]
+    sd = seed_vec
+    for i in range(cfg.num_seed_layers):
+        p_occ, p_pt, p_a = p[f"occ2sa_{i}"], p[f"pt2sa_{i}"], p[f"a2sa_{i}"]
+        v_occ = SF.occ_value(p_occ, occ_emb)
+        k0, v0 = SF.precompute_src_kv(p_pt, x_pt)
+        kr, vr = SF.r_contrib(p_pt, r_pl)
+        ka, va = SF.precompute_src_kv(p_a, chain[i])
+        kar, var_ = SF.r_contrib(p_a, r_sa)
+        sd = SF.attn_1q_single_key(p_occ, sd, v_occ)
+        sd = SF.attn_1q(p_pt, sd, k0 + kr, v0 + vr, pl_mask, H)
+        sd = SF.attn_1q(p_a, sd, ka + kar, va + var_, a2sa_mask, H,
+                        bipartite=False)
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(ref_out),
+                               atol=2e-5, rtol=2e-5)
