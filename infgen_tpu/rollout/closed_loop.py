@@ -32,6 +32,7 @@ from infgen_tpu.config import (
 from infgen_tpu.model import edges as E
 from infgen_tpu.model.agent_decoder import INVALID_SHAPE_VALUE, SEED_TYPE, map_token_index
 from infgen_tpu.ops import seed_fast as SF
+from infgen_tpu.ops import seed_kernel as SKN
 from infgen_tpu.ops.neighbors import topk_neighbors
 from infgen_tpu.ops.precision import compute_dtype_of
 from infgen_tpu.ops.sampling import sample_from_topk
@@ -124,6 +125,12 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
     dec_method = lambda fn: (lambda mdl, *a, **k: fn(mdl.agent_decoder, *a, **k))
     sf_dt = compute_dtype_of(cfg.compute_dtype)   # seed-fast compute dtype
+    # fused single-kernel seed evaluation (ops/seed_kernel): Mosaic on TPU,
+    # interpret mode on CPU (tests / multichip dryrun)
+    use_skn = cfg.use_seed_kernel and cfg.use_grid_token
+    skn_interp = jax.default_backend() == "cpu"
+    skn_sel = SKN.selector(cfg.hidden_dim, cfg.num_heads, cfg.head_dim) \
+        if use_skn else None
 
     def apply_dec(params, fn, *args):
         return model.apply({"params": params}, *args,
@@ -149,12 +156,14 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # during the rollout; per-step geometry contributions are added in
         # _insertion)
         if cfg.disable_insertion:
-            seed_vec = ptkv0 = None
+            seed_vec = ptkv0 = skn_packed = None
         else:
             seed_vec = _seed_vector(params, tables)
             dp0 = params["agent_decoder"]
             ptkv0 = [SF.precompute_src_kv(dp0[f"pt2sa_{i}"], x_pt, sf_dt)
                      for i in range(cfg.num_seed_layers)]
+            skn_packed = SKN.pack_seed_params(
+                dp0, cfg.num_seed_layers, G, sf_dt) if use_skn else None
 
         tok = inputs.tokens
         T0 = tok.token_idx.shape[1]
@@ -261,7 +270,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         def body(carry, t):
             carry, out = _step(params, carry, t, x_pt, pt_pos, pt_orient,
                                pt_mask, tables, av, slot_active, seed_vec,
-                               ptkv0)
+                               ptkv0, skn_packed)
             return carry, out
 
         raw_feat0 = carry.raw_feat
@@ -379,7 +388,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     # ---------------------------------------------------------------- #
 
     def _insertion(params, carry, c, x_pt, pt_pos, pt_orient, pt_mask,
-                   tables, av, seed_vec, ptkv0):
+                   tables, av, seed_vec, ptkv0, skn_packed):
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         ego_pos = jax.lax.dynamic_index_in_dim(carry.pos[av], c, 0, False)
@@ -411,6 +420,11 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             kr, vr = SF.r_contrib(dp[f"pt2sa_{i}"], r_pl_emb, sf_dt)
             K_pt.append(ptkv0[i][0] + kr)
             V_pt.append(ptkv0[i][1] + vr)
+        if use_skn:
+            D_ = cfg.hidden_dim
+            K_pt_s, V_pt_s = jnp.stack(K_pt), jnp.stack(V_pt)
+            maskf_pl = jnp.broadcast_to(
+                pl_mask[:, None], (pl_mask.shape[0], D_)).astype(jnp.float32)
 
         # agent-row key snapshots (zero-aggregate chains independent of the
         # seed query), once per step; only the inserted row changes
@@ -470,17 +484,33 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             carry = carry._replace(rng=rng)
             occ_vec = fast["occ_vec"]
 
-            sd = seed_vec
-            for i in range(L_s):
-                if cfg.use_grid_token:
-                    sd = SF.attn_1q_single_key(dp[f"occ2sa_{i}"], sd,
-                                               fast["v_occ"][i], sf_dt)
-                sd = SF.attn_1q(dp[f"pt2sa_{i}"], sd, K_pt[i], V_pt[i],
-                                pl_mask, cfg.num_heads, sf_dt)
-                sd = SF.attn_1q(dp[f"a2sa_{i}"], sd, fast["K_a"][i],
-                                fast["V_a"][i], fast["a2sa_mask"],
-                                cfg.num_heads, sf_dt, bipartite=False)
-            heads = apply_dec(params, AgentDecoder.seed_heads, sd)
+            if use_skn:
+                # one fused Mosaic kernel for the whole stack + heads
+                # (ops/seed_kernel; the rollout is dispatch-bound)
+                maskf_a = jnp.broadcast_to(
+                    fast["a2sa_mask"][:, None],
+                    (A, cfg.hidden_dim)).astype(jnp.float32)
+                small, posl = SKN.seed_eval_kernel(
+                    skn_packed, seed_vec[None].astype(jnp.float32),
+                    fast["v_occ"], K_pt_s, V_pt_s, maskf_pl,
+                    fast["K_a"], fast["V_a"], maskf_a, skn_sel,
+                    cfg.num_heads, cfg.head_dim, interpret=skn_interp)
+                heads = dict(state_logits=small[0, :2],
+                             type_logits=small[1, :3],
+                             shape=small[2, :3],
+                             pos_logits=posl[0, :G])
+            else:
+                sd = seed_vec
+                for i in range(L_s):
+                    if cfg.use_grid_token:
+                        sd = SF.attn_1q_single_key(dp[f"occ2sa_{i}"], sd,
+                                                   fast["v_occ"][i], sf_dt)
+                    sd = SF.attn_1q(dp[f"pt2sa_{i}"], sd, K_pt[i], V_pt[i],
+                                    pl_mask, cfg.num_heads, sf_dt)
+                    sd = SF.attn_1q(dp[f"a2sa_{i}"], sd, fast["K_a"][i],
+                                    fast["V_a"][i], fast["a2sa_mask"],
+                                    cfg.num_heads, sf_dt, bipartite=False)
+                heads = apply_dec(params, AgentDecoder.seed_heads, sd)
 
             heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
             enter_prob = jax.nn.softmax(heads["state_logits"])[1]
@@ -807,7 +837,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     # ---------------------------------------------------------------- #
 
     def _step(params, carry, t, x_pt, pt_pos, pt_orient, pt_mask, tables, av,
-              init_active, seed_vec, ptkv0):
+              init_active, seed_vec, ptkv0, skn_packed):
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         c = t + 1  # current column
@@ -820,7 +850,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             carry, n_new, seed_probs = jax.lax.cond(
                 t > 0,
                 lambda cr: _insertion(params, cr, c, x_pt, pt_pos, pt_orient,
-                                      pt_mask, tables, av, seed_vec, ptkv0),
+                                      pt_mask, tables, av, seed_vec, ptkv0,
+                                      skn_packed),
                 lambda cr: (cr, jnp.int32(0),
                             jnp.zeros((cfg.insert_limit + 1,))),
                 carry)

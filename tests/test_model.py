@@ -342,3 +342,79 @@ def test_seed_fast_equivalence():
                         bipartite=False)
     np.testing.assert_allclose(np.asarray(sd), np.asarray(ref_out),
                                atol=2e-5, rtol=2e-5)
+
+def test_seed_kernel_equivalence():
+    """ops/seed_kernel (single fused Pallas evaluation, interpret mode on
+    CPU) == seed_column + seed_heads exactly at fp32: the selector-matmul
+    head-dim handling and split to_g matmul must not change the math."""
+    import jax
+    import jax.numpy as jnp
+
+    from infgen_tpu.config import Config
+    from infgen_tpu.model.agent_decoder import AgentDecoder
+    from infgen_tpu.ops import seed_fast as SF
+    from infgen_tpu.ops import seed_kernel as SK
+    from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+
+    cfg = Config(max_agents=12, max_map_tokens=32, hidden_dim=32, num_heads=2,
+                 head_dim=16, num_freq_bands=8, num_agent_layers=2,
+                 num_seed_layers=3, num_map_layers=1, dropout=0.0,
+                 grid_range=60.0, grid_interval=3.0, pl2seed_radius=30.0,
+                 remat_attention=False)
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    dec = AgentDecoder(cfg, grid_xy=attr.grid, grid_size=attr.grid_size,
+                       angle_size=attr.angle_size)
+    rng = np.random.default_rng(29)
+    A, P, D, H, Hd = 12, 32, 32, 2, 16
+    L = cfg.num_seed_layers
+    agent_col = jnp.asarray(rng.normal(size=(A, D)), jnp.float32)
+    seed_vec = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    occ_vec = jnp.asarray(rng.uniform(size=attr.grid_size) < 0.1)
+    pl_mask = jnp.asarray(rng.uniform(size=P) < 0.7)
+    pl_r_raw = jnp.asarray(rng.normal(size=(P, 3)), jnp.float32)
+    a2sa_r_raw = jnp.asarray(rng.normal(size=(A, 3)), jnp.float32)
+    a2sa_mask = jnp.asarray(rng.uniform(size=A) < 0.8)
+    x_pt = jnp.asarray(rng.normal(size=(P, D)), jnp.float32)
+
+    def init_all(mdl):
+        r_pl = mdl.embed_pl2sa_r(pl_r_raw)
+        r_sa = mdl.embed_a2sa_r(a2sa_r_raw)
+        occ_emb = mdl.embed_occ(occ_vec)
+        chain = mdl.seed_key_chain(agent_col)
+        out = mdl.seed_column(agent_col, seed_vec, occ_vec, pl_mask, r_pl,
+                              a2sa_r_raw, a2sa_mask, x_pt)
+        heads = mdl.seed_heads(out)
+        return out, heads, (r_pl, r_sa, occ_emb, chain)
+
+    variables = dec.init(jax.random.PRNGKey(0), method=init_all)
+    _, ref_heads, (r_pl, r_sa, occ_emb, chain) = dec.apply(variables,
+                                                           method=init_all)
+    p = variables["params"]
+    K_pt, V_pt, K_a, V_a, v_occ = [], [], [], [], []
+    for i in range(L):
+        p_occ, p_pt, p_a = p[f"occ2sa_{i}"], p[f"pt2sa_{i}"], p[f"a2sa_{i}"]
+        v_occ.append(SF.occ_value(p_occ, occ_emb))
+        k0, v0 = SF.precompute_src_kv(p_pt, x_pt)
+        kr, vr = SF.r_contrib(p_pt, r_pl)
+        K_pt.append(k0 + kr)
+        V_pt.append(v0 + vr)
+        ka, va = SF.precompute_src_kv(p_a, chain[i])
+        kar, var_ = SF.r_contrib(p_a, r_sa)
+        K_a.append(ka + kar)
+        V_a.append(va + var_)
+
+    packed = SK.pack_seed_params(p, L, attr.grid_size, None)
+    S = SK.selector(D, H, Hd)
+    maskf_pl = jnp.broadcast_to(pl_mask[:, None], (P, D)).astype(jnp.float32)
+    maskf_a = jnp.broadcast_to(a2sa_mask[:, None], (A, D)).astype(jnp.float32)
+    small, pos = SK.seed_eval_kernel(
+        packed, seed_vec[None], jnp.stack(v_occ), jnp.stack(K_pt),
+        jnp.stack(V_pt), maskf_pl, jnp.stack(K_a), jnp.stack(V_a), maskf_a,
+        S, H, Hd, interpret=True)
+    for got, want in [(small[0, :2], ref_heads["state_logits"]),
+                      (small[1, :3], ref_heads["type_logits"]),
+                      (small[2, :3], ref_heads["shape"]),
+                      (pos[0, :attr.grid_size], ref_heads["pos_logits"])]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)

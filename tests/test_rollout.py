@@ -105,3 +105,33 @@ def test_rollout_quirks_off(setup):
     pos = np.asarray(out["pos_a"])
     assert np.all(pos[state == INVALID_STATE] == 0)
     assert bool(jnp.isfinite(out["pred_traj"]).all())
+
+
+def test_rollout_seed_kernel_ab(setup):
+    """use_seed_kernel=True (ops/seed_kernel fused Mosaic eval; interpret
+    mode on CPU) makes IDENTICAL insertion decisions to the decomposed XLA
+    path at fp32 and matches trajectories to float round-off."""
+    cfg, scenario, inputs, _ = setup
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    mt = MotionTokenizer()
+    map_vocab = load_map_vocab()
+    # num_seed_layers=3 exercises the full per-layer loop of the kernel
+    # (the refine stack reuses trunk layers 0..2, so agent layers >= 3)
+    cfg3 = cfg.replace(num_seed_layers=3, num_agent_layers=3)
+    model = InfGenModel(cfg3, attr.grid, attr.grid_size, attr.angle_size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        jax.random.PRNGKey(2), deterministic=True)
+    outs = {}
+    for flag in (False, True):
+        ro = make_rollout_fn(model, cfg3.replace(use_seed_kernel=flag), attr,
+                             mt, map_vocab, jit=True, force_insert=True)
+        outs[flag] = jax.device_get(
+            ro(variables["params"], scenario, inputs, jax.random.PRNGKey(7)))
+    a, b = outs[False], outs[True]
+    assert np.array_equal(a["slot_active"], b["slot_active"])
+    assert np.array_equal(a["pred_state"], b["pred_state"])
+    assert np.array_equal(a["next_token_idx"], b["next_token_idx"])
+    np.testing.assert_allclose(a["pred_traj"], b["pred_traj"], atol=1e-4)
