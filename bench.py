@@ -112,6 +112,10 @@ def main():
         cfg = cfg.replace(compute_dtype="float32")
     if os.environ.get("INFGEN_BENCH_FUSED"):
         cfg = cfg.replace(use_fused_block=True)
+    if os.environ.get("INFGEN_BENCH_COLK"):
+        cfg = cfg.replace(use_column_kernel=True)
+    if os.environ.get("INFGEN_BENCH_NO_SEEDK"):
+        cfg = cfg.replace(use_seed_kernel=False)
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()

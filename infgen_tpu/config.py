@@ -162,6 +162,10 @@ class Config:
     use_pallas_attention: bool = False  # fused kernel on eligible eval paths
     # whole-layer fused kernel on the rollout column passes (ops/fused_block)
     use_fused_block: bool = False
+    # single-dispatch whole-trunk-column kernel (ops/column_kernel): all
+    # num_agent_layers x 3 sublayers in one pallas_call with a grid over
+    # layers — the motion pass is dispatch-bound (~1400 HLO ops/step)
+    use_column_kernel: bool = False
     # single-pallas-kernel insertion seed evaluation (ops/seed_kernel): the
     # rollout is dispatch-bound and this folds ~300 HLO ops per evaluation
     # into one kernel (measured 133 -> 84 us/eval on the v5e); falls back to

@@ -360,6 +360,33 @@ class AgentDecoder(nn.Module):
         r_pl = self.r_pt2a_emb(pl_r_raw)
         x = x_c
         new_cols = []
+        if self.cfg.use_column_kernel and not self.is_initializing():
+            # the ENTIRE column in one Pallas dispatch (ops/column_kernel):
+            # grid over layers, relation embeddings VMEM-resident, running
+            # column in persistent scratch. Exact math equivalence:
+            # tests/test_column_kernel.py.
+            from infgen_tpu.ops.column_kernel import (
+                motion_column_kernel, pack_column_params)
+            from infgen_tpu.ops.precision import compute_dtype_of
+
+            dp = {}
+            for i in range(self.cfg.num_agent_layers):
+                dp[f"t_attn_{i}"] = self.t_attn_layers[i].variables["params"]
+                dp[f"pt2a_{i}"] = self.pt2a_attn_layers[i].variables["params"]
+                dp[f"a2a_{i}"] = self.a2a_attn_layers[i].variables["params"]
+            packed = pack_column_params(
+                dp, self.cfg.num_agent_layers,
+                compute_dtype_of(self.cfg.compute_dtype))
+            cols = motion_column_kernel(
+                packed, x_c, key_stack, r_t, t_mask, pl_keys, r_pl, pl_mask,
+                r_aa, a2a_mask, self.cfg.num_heads, self.cfg.head_dim,
+                compute_dtype=compute_dtype_of(self.cfg.compute_dtype))
+            # the scan cache carries the compute dtype (like the XLA path's
+            # layer outputs); keep residuals fp32 inside the kernel only
+            out_dt = compute_dtype_of(self.cfg.compute_dtype)
+            if out_dt is not None:
+                cols = cols.astype(out_dt)
+            return cols, cols[-1]
         if self.cfg.use_fused_block and not self.is_initializing():
             # whole-layer fused kernels: 3 dispatches per layer instead of
             # ~75 XLA ops (ops/fused_block.py); identical math + params

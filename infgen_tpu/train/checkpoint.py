@@ -39,7 +39,12 @@ class CheckpointManager:
         REQUIRED for terminal saves: CheckpointManager.save() silently
         discards steps off the save interval otherwise, so an end-of-training
         save at e.g. step 800 with interval 1000 would be a no-op and resume
-        would restore near-initial weights."""
+        would restore near-initial weights. A forced save of an
+        already-persisted step (e.g. max_steps lands exactly on the save
+        interval, or step 0 after the InitialSavePolicy) is a no-op instead
+        of orbax's StepAlreadyExistsError."""
+        if force and step in set(self.mgr.all_steps()):
+            return False
         return self.mgr.save(step, args=ocp.args.StandardSave(state),
                              force=force, metrics=metrics)
 

@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="use_fused_block=True (latency-mode trunk kernels)")
+    ap.add_argument("--colk", action="store_true",
+                    help="use_column_kernel=True (single-dispatch trunk column)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -53,6 +57,10 @@ def main():
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "..", "configs", "ours_long_term.yaml"))
     cfg = cfg.replace(num_recurrent_steps_val=args.steps)
+    if args.fused:
+        cfg = cfg.replace(use_fused_block=True)
+    if args.colk:
+        cfg = cfg.replace(use_column_kernel=True)
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()

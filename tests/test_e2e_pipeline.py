@@ -121,6 +121,10 @@ def test_full_pipeline(tmp_path):
                   "--rollout_dir", str(roll_dir)])
     with open(roll_dir / "wosac_metrics.json") as f:
         w = json.load(f)
-    assert "metametric" in w["summary"]
-    assert "simulated_offroad_rate" in w["summary"]
-    assert np.isfinite(w["summary"]["metametric"])
+    # reference LongMetric.compute output schema (compute_metrics.py:1455+):
+    # aggregated metametric, bucket rollups, per-likelihood means
+    assert np.isfinite(w["summary"]["wosac/realism_meta_metric"])
+    assert "wosac/kinematic_metrics" in w["summary"]
+    assert "wosac/placement_based_metrics" in w["summary"]
+    assert "wosac_likelihood/simulated_offroad_rate" in w["summary"]
+    assert w["summary"]["wosac/scenario_counter"] == 2
