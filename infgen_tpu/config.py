@@ -171,7 +171,11 @@ class Config:
     # into one kernel (measured 133 -> 84 us/eval on the v5e); falls back to
     # ops/seed_fast when off or when use_grid_token is off
     use_seed_kernel: bool = False
-    remat_attention: bool = True  # rematerialize attention activations
+    # rematerialize attention activations in the training backward. Measured
+    # on v5e (bf16, scripts/bench_train.py): OFF is 21% faster at batch<=2
+    # per chip (0.223 vs 0.283 s/step) but batch 8 then needs 35 GB HBM
+    # (OOM on 16 GB); keep ON for large per-chip batches.
+    remat_attention: bool = True
     # data-axis size for the default Trainer mesh; 0 = all local devices
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 0})
     # matmul compute dtype ("float32" | "bfloat16"); master params, LN stats,

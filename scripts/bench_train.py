@@ -40,6 +40,8 @@ def main():
         cfg = cfg.replace(use_pallas_attention=True)
     if os.environ.get("INFGEN_BENCH_BF16"):
         cfg = cfg.replace(compute_dtype="bfloat16")
+    if os.environ.get("INFGEN_BENCH_NO_REMAT"):
+        cfg = cfg.replace(remat_attention=False)
 
     trainer = Trainer(cfg)
     scens = [make_synthetic_scenario(cfg, seed=s, num_agents=64)
