@@ -115,7 +115,9 @@ def main():
     if os.environ.get("INFGEN_BENCH_COLK"):
         cfg = cfg.replace(use_column_kernel=True)
     if os.environ.get("INFGEN_BENCH_NO_SEEDK"):
-        cfg = cfg.replace(use_seed_kernel=False)
+        cfg = cfg.replace(use_seed_kernel=False, use_seed_kernel_full=False)
+    if os.environ.get("INFGEN_BENCH_SEEDK_FULL"):
+        cfg = cfg.replace(use_seed_kernel_full=True)
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()

@@ -171,6 +171,11 @@ class Config:
     # into one kernel (measured 133 -> 84 us/eval on the v5e); falls back to
     # ops/seed_fast when off or when use_grid_token is off
     use_seed_kernel: bool = False
+    # fold the per-step eval precompute (occ embedding, geometry K/V
+    # contributions, zero-agg key chains, agent K/V) into the seed kernel
+    # too (seed_eval_full_kernel): one identical call per evaluation, only
+    # raw inputs updated between insert iterations. Implies use_seed_kernel.
+    use_seed_kernel_full: bool = False
     # rematerialize attention activations in the training backward. Measured
     # on v5e (bf16, scripts/bench_train.py): OFF is 21% faster at batch<=2
     # per chip (0.223 vs 0.283 s/step) but batch 8 then needs 35 GB HBM

@@ -126,11 +126,15 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     dec_method = lambda fn: (lambda mdl, *a, **k: fn(mdl.agent_decoder, *a, **k))
     sf_dt = compute_dtype_of(cfg.compute_dtype)   # seed-fast compute dtype
     # fused single-kernel seed evaluation (ops/seed_kernel): Mosaic on TPU,
-    # interpret mode on CPU (tests / multichip dryrun)
-    use_skn = cfg.use_seed_kernel and cfg.use_grid_token
+    # interpret mode on CPU (tests / multichip dryrun). The "full" variant
+    # folds the per-step precompute into the kernel as well.
+    use_sknf = cfg.use_seed_kernel_full and cfg.use_grid_token
+    use_skn = (cfg.use_seed_kernel or cfg.use_seed_kernel_full) \
+        and cfg.use_grid_token and not use_sknf
     skn_interp = jax.default_backend() == "cpu"
     skn_sel = SKN.selector(cfg.hidden_dim, cfg.num_heads, cfg.head_dim) \
-        if use_skn else None
+        if (use_skn or use_sknf) else None
+    Gp_occ = -(-G // 128) * 128 if use_sknf else None
 
     def apply_dec(params, fn, *args):
         return model.apply({"params": params}, *args,
@@ -162,8 +166,14 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             dp0 = params["agent_decoder"]
             ptkv0 = [SF.precompute_src_kv(dp0[f"pt2sa_{i}"], x_pt, sf_dt)
                      for i in range(cfg.num_seed_layers)]
-            skn_packed = SKN.pack_seed_params(
-                dp0, cfg.num_seed_layers, G, sf_dt) if use_skn else None
+            if use_sknf:
+                skn_packed = SKN.pack_seed_params_full(
+                    dp0, cfg.num_seed_layers, G, sf_dt)
+            elif use_skn:
+                skn_packed = SKN.pack_seed_params(
+                    dp0, cfg.num_seed_layers, G, sf_dt)
+            else:
+                skn_packed = None
 
         tok = inputs.tokens
         T0 = tok.token_idx.shape[1]
@@ -413,24 +423,31 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # per step, and single rows are patched per insert.
         dp = params["agent_decoder"]
         L_s = cfg.num_seed_layers
+        D_ = cfg.hidden_dim
         # loop-invariant map->seed geometry embedding
         r_pl_emb = apply_dec(params, AgentDecoder.embed_pl2sa_r, pl_r_raw)
-        K_pt, V_pt = [], []
-        for i in range(L_s):
-            kr, vr = SF.r_contrib(dp[f"pt2sa_{i}"], r_pl_emb, sf_dt)
-            K_pt.append(ptkv0[i][0] + kr)
-            V_pt.append(ptkv0[i][1] + vr)
+        if not use_sknf:
+            K_pt, V_pt = [], []
+            for i in range(L_s):
+                kr, vr = SF.r_contrib(dp[f"pt2sa_{i}"], r_pl_emb, sf_dt)
+                K_pt.append(ptkv0[i][0] + kr)
+                V_pt.append(ptkv0[i][1] + vr)
         if use_skn:
-            D_ = cfg.hidden_dim
             K_pt_s, V_pt_s = jnp.stack(K_pt), jnp.stack(V_pt)
+        if use_skn or use_sknf:
             maskf_pl = jnp.broadcast_to(
                 pl_mask[:, None], (pl_mask.shape[0], D_)).astype(jnp.float32)
+        if use_sknf:
+            k0_s = jnp.stack([kv[0] for kv in ptkv0])
+            v0_s = jnp.stack([kv[1] for kv in ptkv0])
 
         # agent-row key snapshots (zero-aggregate chains independent of the
-        # seed query), once per step; only the inserted row changes
-        ag_keys0 = apply_dec(params, AgentDecoder.seed_key_chain,
-                             jax.lax.dynamic_index_in_dim(
-                                 carry.raw_feat, c, 1, False))
+        # seed query), once per step; only the inserted row changes. The
+        # full kernel computes the chains in-kernel from the raw column.
+        if not use_sknf:
+            ag_keys0 = apply_dec(params, AgentDecoder.seed_key_chain,
+                                 jax.lax.dynamic_index_in_dim(
+                                     carry.raw_feat, c, 1, False))
 
         # step-start occupancy / agent geometry (patched per insert)
         pos_c0 = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
@@ -449,20 +466,28 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             wrap_angle(head_c0 - ego_head),
         ], axis=-1)
         r_sa_emb0 = apply_dec(params, AgentDecoder.embed_a2sa_r, a2sa_r_raw0)
-        K_a0, V_a0 = [], []
-        for i in range(L_s):
-            ka, va = SF.precompute_src_kv(dp[f"a2sa_{i}"], ag_keys0[i], sf_dt)
-            kar, var_ = SF.r_contrib(dp[f"a2sa_{i}"], r_sa_emb0, sf_dt)
-            K_a0.append(ka + kar)
-            V_a0.append(va + var_)
-        fast0 = dict(K_a=jnp.stack(K_a0), V_a=jnp.stack(V_a0),
-                     a2sa_mask=km0 & (d_a0 <= cfg.pl2seed_radius),
-                     occ_vec=occ_vec0)
-        if cfg.use_grid_token:
-            occ_emb0 = apply_dec(params, AgentDecoder.embed_occ, occ_vec0)
-            fast0["v_occ"] = jnp.stack([
-                SF.occ_value(dp[f"occ2sa_{i}"], occ_emb0, sf_dt)
-                for i in range(L_s)])
+        if use_sknf:
+            fast0 = dict(agent_col=jax.lax.dynamic_index_in_dim(
+                             carry.raw_feat, c, 1, False),
+                         r_sa=r_sa_emb0,
+                         a2sa_mask=km0 & (d_a0 <= cfg.pl2seed_radius),
+                         occ_vec=occ_vec0)
+        else:
+            K_a0, V_a0 = [], []
+            for i in range(L_s):
+                ka, va = SF.precompute_src_kv(dp[f"a2sa_{i}"], ag_keys0[i],
+                                              sf_dt)
+                kar, var_ = SF.r_contrib(dp[f"a2sa_{i}"], r_sa_emb0, sf_dt)
+                K_a0.append(ka + kar)
+                V_a0.append(va + var_)
+            fast0 = dict(K_a=jnp.stack(K_a0), V_a=jnp.stack(V_a0),
+                         a2sa_mask=km0 & (d_a0 <= cfg.pl2seed_radius),
+                         occ_vec=occ_vec0)
+            if cfg.use_grid_token:
+                occ_emb0 = apply_dec(params, AgentDecoder.embed_occ, occ_vec0)
+                fast0["v_occ"] = jnp.stack([
+                    SF.occ_value(dp[f"occ2sa_{i}"], occ_emb0, sf_dt)
+                    for i in range(L_s)])
 
         def eval_seed(carry, fast, p_used):
             """One seed-head evaluation: the reference's per-iteration seed
@@ -484,7 +509,25 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             carry = carry._replace(rng=rng)
             occ_vec = fast["occ_vec"]
 
-            if use_skn:
+            if use_sknf:
+                # one fused Mosaic kernel from RAW inputs: precompute
+                # (occ embedding, r contributions, key chains, agent K/V)
+                # + stack + heads — identical call per step and iteration
+                maskf_a = jnp.broadcast_to(
+                    fast["a2sa_mask"][:, None],
+                    (A, cfg.hidden_dim)).astype(jnp.float32)
+                occ_row = jnp.pad(fast["occ_vec"].astype(jnp.float32),
+                                  (0, Gp_occ - G))[None]
+                small, posl = SKN.seed_eval_full_kernel(
+                    skn_packed, seed_vec[None].astype(jnp.float32),
+                    k0_s, v0_s, r_pl_emb, maskf_pl, fast["agent_col"],
+                    fast["r_sa"], maskf_a, occ_row, skn_sel,
+                    cfg.num_heads, cfg.head_dim, interpret=skn_interp)
+                heads = dict(state_logits=small[0, :2],
+                             type_logits=small[1, :3],
+                             shape=small[2, :3],
+                             pos_logits=posl[0, :G])
+            elif use_skn:
                 # one fused Mosaic kernel for the whole stack + heads
                 # (ops/seed_kernel; the rollout is dispatch-bound)
                 maskf_a = jnp.broadcast_to(
@@ -582,8 +625,6 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 ego_head, x_pt, pt_pos, pt_orient, pt_mask, tables, av)
 
             # ---- patch the inserted row into the fast-eval state ----
-            row_chain = apply_dec(params, AgentDecoder.seed_key_chain,
-                                  new_feat[None, :])[:, 0]       # [L, D]
             rel = ins_pos - ego_pos
             d_row = jnp.linalg.norm(rel)
             r_row_raw = jnp.stack([
@@ -592,18 +633,32 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 wrap_angle(ins_head - ego_head),
             ])[None]
             r_row_emb = apply_dec(params, AgentDecoder.embed_a2sa_r, r_row_raw)
-            K_rows, V_rows = [], []
-            for i in range(L_s):
-                ka, va = SF.precompute_src_kv(dp[f"a2sa_{i}"],
-                                              row_chain[i][None], sf_dt)
-                kar, var_ = SF.r_contrib(dp[f"a2sa_{i}"], r_row_emb, sf_dt)
-                K_rows.append((ka + kar)[0])
-                V_rows.append((va + var_)[0])
             fast = dict(fast)
-            fast["K_a"] = fast["K_a"].at[:, slot].set(
-                jnp.where(do_insert, jnp.stack(K_rows), fast["K_a"][:, slot]))
-            fast["V_a"] = fast["V_a"].at[:, slot].set(
-                jnp.where(do_insert, jnp.stack(V_rows), fast["V_a"][:, slot]))
+            if use_sknf:
+                # the full kernel recomputes chains/K/V from raw inputs:
+                # only the raw feature row, its geometry embedding, the
+                # mask row, and the occupancy bit change
+                fast["agent_col"] = fast["agent_col"].at[slot].set(
+                    jnp.where(do_insert, new_feat, fast["agent_col"][slot]))
+                fast["r_sa"] = fast["r_sa"].at[slot].set(
+                    jnp.where(do_insert, r_row_emb[0], fast["r_sa"][slot]))
+            else:
+                row_chain = apply_dec(params, AgentDecoder.seed_key_chain,
+                                      new_feat[None, :])[:, 0]   # [L, D]
+                K_rows, V_rows = [], []
+                for i in range(L_s):
+                    ka, va = SF.precompute_src_kv(dp[f"a2sa_{i}"],
+                                                  row_chain[i][None], sf_dt)
+                    kar, var_ = SF.r_contrib(dp[f"a2sa_{i}"], r_row_emb,
+                                             sf_dt)
+                    K_rows.append((ka + kar)[0])
+                    V_rows.append((va + var_)[0])
+                fast["K_a"] = fast["K_a"].at[:, slot].set(
+                    jnp.where(do_insert, jnp.stack(K_rows),
+                              fast["K_a"][:, slot]))
+                fast["V_a"] = fast["V_a"].at[:, slot].set(
+                    jnp.where(do_insert, jnp.stack(V_rows),
+                              fast["V_a"][:, slot]))
             fast["a2sa_mask"] = fast["a2sa_mask"].at[slot].set(
                 jnp.where(do_insert, d_row <= cfg.pl2seed_radius,
                           fast["a2sa_mask"][slot]))
@@ -612,10 +667,12 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                     jnp.where(do_insert, True,
                               fast["occ_vec"][prop["g_idx"]]))
                 fast["occ_vec"] = occ_vec
-                occ_emb = apply_dec(params, AgentDecoder.embed_occ, occ_vec)
-                fast["v_occ"] = jnp.stack([
-                    SF.occ_value(dp[f"occ2sa_{i}"], occ_emb, sf_dt)
-                    for i in range(L_s)])
+                if not use_sknf:
+                    occ_emb = apply_dec(params, AgentDecoder.embed_occ,
+                                        occ_vec)
+                    fast["v_occ"] = jnp.stack([
+                        SF.occ_value(dp[f"occ2sa_{i}"], occ_emb, sf_dt)
+                        for i in range(L_s)])
 
             # reference records the enter prob at index num_new_agents after a
             # successful insert (agent_decoder.py:2105)

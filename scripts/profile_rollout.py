@@ -50,6 +50,8 @@ def main():
                     help="use_fused_block=True (latency-mode trunk kernels)")
     ap.add_argument("--colk", action="store_true",
                     help="use_column_kernel=True (single-dispatch trunk column)")
+    ap.add_argument("--sknf", action="store_true",
+                    help="use_seed_kernel_full=True (precompute in-kernel)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -61,6 +63,8 @@ def main():
         cfg = cfg.replace(use_fused_block=True)
     if args.colk:
         cfg = cfg.replace(use_column_kernel=True)
+    if args.sknf:
+        cfg = cfg.replace(use_seed_kernel_full=True)
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()

@@ -418,3 +418,72 @@ def test_seed_kernel_equivalence():
                       (pos[0, :attr.grid_size], ref_heads["pos_logits"])]:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_seed_kernel_full_equivalence():
+    """ops/seed_kernel full variant (precompute folded in: occ embedding,
+    r contributions, zero-agg key chains, agent K/V) == seed_column +
+    seed_heads exactly at fp32 from RAW inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from infgen_tpu.config import Config
+    from infgen_tpu.model.agent_decoder import AgentDecoder
+    from infgen_tpu.ops import seed_fast as SF
+    from infgen_tpu.ops import seed_kernel as SK
+    from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+
+    cfg = Config(max_agents=12, max_map_tokens=32, hidden_dim=32, num_heads=2,
+                 head_dim=16, num_freq_bands=8, num_agent_layers=2,
+                 num_seed_layers=3, num_map_layers=1, dropout=0.0,
+                 grid_range=60.0, grid_interval=3.0, pl2seed_radius=30.0,
+                 remat_attention=False)
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    dec = AgentDecoder(cfg, grid_xy=attr.grid, grid_size=attr.grid_size,
+                       angle_size=attr.angle_size)
+    rng = np.random.default_rng(41)
+    A, P, D = 12, 32, 32
+    agent_col = jnp.asarray(rng.normal(size=(A, D)), jnp.float32)
+    seed_vec = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    occ_vec = jnp.asarray(rng.uniform(size=attr.grid_size) < 0.1)
+    pl_mask = jnp.asarray(rng.uniform(size=P) < 0.7)
+    pl_r_raw = jnp.asarray(rng.normal(size=(P, 3)), jnp.float32)
+    a2sa_r_raw = jnp.asarray(rng.normal(size=(A, 3)), jnp.float32)
+    a2sa_mask = jnp.asarray(rng.uniform(size=A) < 0.8)
+    x_pt = jnp.asarray(rng.normal(size=(P, D)), jnp.float32)
+
+    def fwd(mdl):
+        r_pl = mdl.embed_pl2sa_r(pl_r_raw)
+        r_sa = mdl.embed_a2sa_r(a2sa_r_raw)
+        out = mdl.seed_column(agent_col, seed_vec, occ_vec, pl_mask, r_pl,
+                              a2sa_r_raw, a2sa_mask, x_pt)
+        return mdl.seed_heads(out), (r_pl, r_sa)
+
+    variables = dec.init(jax.random.PRNGKey(0), method=fwd)
+    ref_heads, (r_pl, r_sa) = dec.apply(variables, method=fwd)
+    p = variables["params"]
+    L = cfg.num_seed_layers
+
+    k0, v0 = [], []
+    for i in range(L):
+        a, b = SF.precompute_src_kv(p[f"pt2sa_{i}"], x_pt)
+        k0.append(a)
+        v0.append(b)
+
+    packed = SK.pack_seed_params_full(p, L, attr.grid_size, None)
+    S = SK.selector(D, cfg.num_heads, cfg.head_dim)
+    Gp = packed["oe_w0"].shape[0]
+    occ_row = jnp.pad(occ_vec.astype(jnp.float32), (0, Gp - attr.grid_size))[None]
+    maskf_pl = jnp.broadcast_to(pl_mask[:, None], (P, D)).astype(jnp.float32)
+    maskf_a = jnp.broadcast_to(a2sa_mask[:, None], (A, D)).astype(jnp.float32)
+    small, pos = SK.seed_eval_full_kernel(
+        packed, seed_vec[None], jnp.stack(k0), jnp.stack(v0), r_pl,
+        maskf_pl, agent_col, r_sa, maskf_a, occ_row, S,
+        cfg.num_heads, cfg.head_dim, interpret=True)
+    for got, want in [(small[0, :2], ref_heads["state_logits"]),
+                      (small[1, :3], ref_heads["type_logits"]),
+                      (small[2, :3], ref_heads["shape"]),
+                      (pos[0, :attr.grid_size], ref_heads["pos_logits"])]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
