@@ -164,9 +164,11 @@ def main():
             ca = ca[0]
         flops_per_batch = float(ca.get("flops", 0.0))
         dev = jax.devices()[0]
+        # bf16 MXU peak known for the benchmarked chip only; elsewhere skip
+        # MFU rather than report it against the wrong denominator
         peak = 197e12 if "v5" in getattr(dev, "device_kind", "").lower() \
-            else 197e12
-        if flops_per_batch > 0:
+            else None
+        if flops_per_batch > 0 and peak:
             mfu = flops_per_batch / dt / peak
     except Exception:
         pass

@@ -282,13 +282,17 @@ def main(argv=None):
             from infgen_tpu.metrics.offline import _load_features
             log_feats_all = _load_features(args.log_features)
             print(f"loaded aggregated log features from {args.log_features}")
-        else:
+        built_cache = {}
+        if not args.log_features:
             # fall back to aggregating over the scenarios being validated
-            # (the split restricted to --num_scenarios)
+            # (the split restricted to --num_scenarios); keep the built
+            # inputs — scenario_stream consumes the identical (scen, rng)
+            # pairs, so rebuilding them would double the input pipeline
             gt_parts = []
             for i in range(min(args.num_scenarios, len(dataset))):
                 scen_i = dataset[i]
                 inp_i = build(scen_i, jax.random.fold_in(base_rng, 2 * i))
+                built_cache[i] = (scen_i, inp_i)
                 gt_parts.append(jax.tree.map(
                     np.asarray, gt_feats_fn(scen_i, inp_i, None, None)))
             log_feats_all = jax.tree.map(
@@ -308,10 +312,13 @@ def main(argv=None):
                 return
             if not use_shard:
                 for i in idxs:
-                    scen = dataset[i]
-                    r1 = jax.random.fold_in(base_rng, 2 * i)
+                    if i in built_cache:
+                        scen, inputs = built_cache.pop(i)
+                    else:
+                        scen = dataset[i]
+                        inputs = build(scen,
+                                       jax.random.fold_in(base_rng, 2 * i))
                     r2 = jax.random.fold_in(base_rng, 2 * i + 1)
-                    inputs = build(scen, r1)
                     out = rollout(state.params, scen, inputs, r2)
                     if n_roll > 1:
                         yield i, scen, inputs, [

@@ -58,12 +58,8 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def head_selector(D: int, H: int, Hd: int) -> np.ndarray:
-    """S[d, h] = 1 iff d // Hd == h (h < H), padded square for one MXU pass."""
-    S = np.zeros((D, D), np.float32)
-    for d in range(H * Hd):
-        S[d, d // Hd] = 1.0
-    return S
+# same selector-matrix construction as the seed kernel — one source of truth
+from infgen_tpu.ops.seed_kernel import selector as head_selector  # noqa: E402
 
 
 def pack_column_params(dp, L: int, dtype) -> dict:
@@ -268,6 +264,11 @@ def motion_column_kernel(packed, x0, key_stack, r_t, t_mask, pl_keys, r_pl,
     L, A, W, D = key_stack.shape
     K = pl_keys.shape[1]
     Wp, Kp = _round_up(W, 8), _round_up(K, 8)
+    # _sublayer slices fixed-size query chunks; shrink until A divides
+    # evenly (A=16 test configs, A=40 parity configs, flagship A=128)
+    chunk = min(chunk, A)
+    while A % chunk:
+        chunk //= 2
     cdt = compute_dtype or jnp.float32
     f32 = jnp.float32
 
@@ -296,9 +297,6 @@ def motion_column_kernel(packed, x0, key_stack, r_t, t_mask, pl_keys, r_pl,
         pl.BlockSpec((1, A, Wp, D), lambda l: (l, 0, 0, 0)),
         *[const(a) for a in data[2:]],
     ]
-    param_specs = [pl.BlockSpec((1,) + p.shape[1:],
-                                lambda l, n=p.ndim: (0,) * n)
-                   for p in params]
     # per-layer param blocks: index the leading (layer) axis by the grid
     param_specs = [pl.BlockSpec((1,) + p.shape[1:],
                                 lambda l: (l,) + (0,) * (p.ndim - 1))

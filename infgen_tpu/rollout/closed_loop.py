@@ -131,7 +131,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     use_sknf = cfg.use_seed_kernel_full and cfg.use_grid_token
     use_skn = (cfg.use_seed_kernel or cfg.use_seed_kernel_full) \
         and cfg.use_grid_token and not use_sknf
-    skn_interp = jax.default_backend() == "cpu"
+    skn_interp = jax.default_backend() != "tpu"
     skn_sel = SKN.selector(cfg.hidden_dim, cfg.num_heads, cfg.head_dim) \
         if (use_skn or use_sknf) else None
     Gp_occ = -(-G // 128) * 128 if use_sknf else None

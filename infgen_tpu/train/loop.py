@@ -115,7 +115,23 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
                 params=load_weights(jax.device_get(state.params), src_params))
             log_fn(f"warm-started weights from {pretrain_ckpt}")
     if resume and ckpt.latest_step() is not None:
-        restored = ckpt.restore(state)
+        try:
+            restored = ckpt.restore(state)
+        except Exception as e:  # param-tree drift (e.g. a head added since
+            # the checkpoint was written): fall back to a non-strict
+            # weights-only warm start rather than crash — optimizer state
+            # and step restart fresh, which the log calls out loudly
+            from infgen_tpu.train.checkpoint import load_weights
+            raw = ckpt.restore_raw()
+            restored = None
+            if raw is not None:
+                src = raw.get("params", raw) if isinstance(raw, dict) \
+                    else getattr(raw, "params", raw)
+                state = state._replace(params=load_weights(
+                    jax.device_get(state.params), src))
+                log_fn("resume: checkpoint tree mismatches the current "
+                       f"model ({type(e).__name__}); warm-started weights "
+                       "only — optimizer state and step reset")
         if restored is not None:
             state = restored
             log_fn(f"resumed from step {int(state.step)}")

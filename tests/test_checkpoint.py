@@ -69,3 +69,29 @@ def test_train_metrics_basics():
     # step 0: two entering agents on cell 5, one occupied by a valid agent
     assert int(np.asarray(go["num_overlap_t"])[0]) == 2
     assert int(np.asarray(go["num_insert_agent_t"])[0]) == 2
+
+
+def test_resume_tree_mismatch_warm_start(tmp_path):
+    """train(resume=True) over a checkpoint whose param tree no longer
+    matches the model (e.g. a head added since it was written, like
+    use_grid_index_head) must fall back to a non-strict weights-only warm
+    start instead of crashing on orbax's strict StandardRestore."""
+    from infgen_tpu.config import Config
+    from infgen_tpu.train.loop import SyntheticDataset, train
+
+    cfg = Config(max_agents=16, max_map_tokens=32, hidden_dim=16, num_heads=2,
+                 head_dim=8, num_freq_bands=4, num_agent_layers=1,
+                 num_seed_layers=1, num_map_layers=1, num_token_steps=6,
+                 num_historical_steps=11, num_future_steps=20,
+                 train_batch_size=1, predict_occ=False, dropout=0.0,
+                 use_grid_index_head=False)
+    ds = SyntheticDataset(cfg, size=2)
+    logs = []
+    train(cfg, ds, save_dir=str(tmp_path), max_steps=1,
+          log_fn=logs.append, resume=True)
+    # same run dir, but the model now has an extra head in its param tree
+    cfg2 = cfg.replace(use_grid_index_head=True)
+    state = train(cfg2, ds, save_dir=str(tmp_path), max_steps=1,
+                  log_fn=logs.append, resume=True)
+    assert state is not None
+    assert any("warm-started weights only" in m for m in logs), logs

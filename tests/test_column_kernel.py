@@ -58,3 +58,12 @@ def test_column_kernel_equivalence():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(got[-1]), np.asarray(ref_out),
                                atol=2e-5, rtol=2e-5)
+
+    # default chunk (64) > A=16: the wrapper must shrink it to divide A
+    # evenly (the model call site passes no chunk)
+    got_def = CK.motion_column_kernel(
+        packed, x_c, key_stack, r_t, t_mask, pl_keys, r_pl, pl_mask,
+        r_aa, a2a_mask, cfg.num_heads, cfg.head_dim, compute_dtype=None,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got_def), np.asarray(ref_cols),
+                               atol=2e-5, rtol=2e-5)

@@ -64,7 +64,7 @@ def _scenario(cfg, A=14):
     """14 agents, all valid at the history boundary (the reference's filter
     physically removes rows and would break slot alignment otherwise); one
     enters during history to exercise bos handling. 14 > the reference's
-    10-row temporal quirk slice (see Config.ref_temporal_quirk), so rows 0-3
+    10-row temporal quirk slice (see Config.ref_rollout_quirks (quirk #1)), so rows 0-3
     exercise real temporal attention while rows 4+ exercise the quirk's
     zero-aggregate path. Map tokens 12 m apart."""
     T10 = 91
