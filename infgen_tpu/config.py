@@ -176,6 +176,11 @@ class Config:
     # too (seed_eval_full_kernel): one identical call per evaluation, only
     # raw inputs updated between insert iterations. Implies use_seed_kernel.
     use_seed_kernel_full: bool = False
+    # fused per-insert heading/offset refine pass (ops/refine_kernel): the
+    # whole subgraph refine (2*num_seed_layers attention sublayers +
+    # zero-agg neighbor updates + both heads) in one pallas_call; requires
+    # use_head_token and use_grid_token (the flagship setting)
+    use_refine_kernel: bool = False
     # rematerialize attention activations in the training backward. Measured
     # on v5e (bf16, scripts/bench_train.py): OFF is 21% faster at batch<=2
     # per chip (0.223 vs 0.283 s/step) but batch 8 then needs 35 GB HBM

@@ -444,6 +444,16 @@ class AgentDecoder(nn.Module):
             cols.append(x)
         return jnp.stack(cols)
 
+    def embed_pl2a_r(self, r_raw):
+        """Map->agent relative-geometry embedding (the refine pass's map
+        sublayers); exposed so the fused refine kernel can embed outside."""
+        return self.r_pt2a_emb(r_raw)
+
+    def embed_a2a_r(self, r_raw):
+        """Agent->agent relative-geometry embedding (refine agent
+        sublayers)."""
+        return self.r_a2a_emb(r_raw)
+
     def embed_pl2sa_r(self, pl_r_raw):
         """Map->seed relative-geometry embedding [P, D]; loop-invariant during
         one step's insertion iterations, so the rollout hoists it out of the

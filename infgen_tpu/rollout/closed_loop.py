@@ -32,6 +32,7 @@ from infgen_tpu.config import (
 from infgen_tpu.model import edges as E
 from infgen_tpu.model.agent_decoder import INVALID_SHAPE_VALUE, SEED_TYPE, map_token_index
 from infgen_tpu.ops import seed_fast as SF
+from infgen_tpu.ops import refine_kernel as RFK
 from infgen_tpu.ops import seed_kernel as SKN
 from infgen_tpu.ops.neighbors import topk_neighbors
 from infgen_tpu.ops.precision import compute_dtype_of
@@ -131,9 +132,12 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     use_sknf = cfg.use_seed_kernel_full and cfg.use_grid_token
     use_skn = (cfg.use_seed_kernel or cfg.use_seed_kernel_full) \
         and cfg.use_grid_token and not use_sknf
+    # fused per-insert refine pass (ops/refine_kernel)
+    use_refk = (cfg.use_refine_kernel and cfg.use_head_token
+                and cfg.use_grid_token)
     skn_interp = jax.default_backend() != "tpu"
     skn_sel = SKN.selector(cfg.hidden_dim, cfg.num_heads, cfg.head_dim) \
-        if (use_skn or use_sknf) else None
+        if (use_skn or use_sknf or use_refk) else None
     Gp_occ = -(-G // 128) * 128 if use_sknf else None
 
     def apply_dec(params, fn, *args):
@@ -160,20 +164,22 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # during the rollout; per-step geometry contributions are added in
         # _insertion)
         if cfg.disable_insertion:
-            seed_vec = ptkv0 = skn_packed = None
+            seed_vec = ptkv0 = packs = None
         else:
             seed_vec = _seed_vector(params, tables)
             dp0 = params["agent_decoder"]
             ptkv0 = [SF.precompute_src_kv(dp0[f"pt2sa_{i}"], x_pt, sf_dt)
                      for i in range(cfg.num_seed_layers)]
+            packs = {}
             if use_sknf:
-                skn_packed = SKN.pack_seed_params_full(
+                packs["seed"] = SKN.pack_seed_params_full(
                     dp0, cfg.num_seed_layers, G, sf_dt)
             elif use_skn:
-                skn_packed = SKN.pack_seed_params(
+                packs["seed"] = SKN.pack_seed_params(
                     dp0, cfg.num_seed_layers, G, sf_dt)
-            else:
-                skn_packed = None
+            if use_refk:
+                packs["refine"] = RFK.pack_refine_params(
+                    dp0, cfg.num_seed_layers, attr.angle_size, sf_dt)
 
         tok = inputs.tokens
         T0 = tok.token_idx.shape[1]
@@ -280,7 +286,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         def body(carry, t):
             carry, out = _step(params, carry, t, x_pt, pt_pos, pt_orient,
                                pt_mask, tables, av, slot_active, seed_vec,
-                               ptkv0, skn_packed)
+                               ptkv0, packs)
             return carry, out
 
         raw_feat0 = carry.raw_feat
@@ -398,7 +404,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     # ---------------------------------------------------------------- #
 
     def _insertion(params, carry, c, x_pt, pt_pos, pt_orient, pt_mask,
-                   tables, av, seed_vec, ptkv0, skn_packed):
+                   tables, av, seed_vec, ptkv0, packs):
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         ego_pos = jax.lax.dynamic_index_in_dim(carry.pos[av], c, 0, False)
@@ -519,7 +525,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 occ_row = jnp.pad(fast["occ_vec"].astype(jnp.float32),
                                   (0, Gp_occ - G))[None]
                 small, posl = SKN.seed_eval_full_kernel(
-                    skn_packed, seed_vec[None].astype(jnp.float32),
+                    packs["seed"], seed_vec[None].astype(jnp.float32),
                     k0_s, v0_s, r_pl_emb, maskf_pl, fast["agent_col"],
                     fast["r_sa"], maskf_a, occ_row, skn_sel,
                     cfg.num_heads, cfg.head_dim, interpret=skn_interp)
@@ -534,7 +540,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                     fast["a2sa_mask"][:, None],
                     (A, cfg.hidden_dim)).astype(jnp.float32)
                 small, posl = SKN.seed_eval_kernel(
-                    skn_packed, seed_vec[None].astype(jnp.float32),
+                    packs["seed"], seed_vec[None].astype(jnp.float32),
                     fast["v_occ"], K_pt_s, V_pt_s, maskf_pl,
                     fast["K_a"], fast["V_a"], maskf_a, skn_sel,
                     cfg.num_heads, cfg.head_dim, interpret=skn_interp)
@@ -622,7 +628,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             carry, new_feat, ins_pos, ins_head = _do_insert(
                 params, carry, c, slot, do_insert, prop["next_pos"],
                 prop["g_idx"], prop["type_idx"], prop["shape"], ego_pos,
-                ego_head, x_pt, pt_pos, pt_orient, pt_mask, tables, av)
+                ego_head, x_pt, pt_pos, pt_orient, pt_mask, tables, av,
+                packs)
 
             # ---- patch the inserted row into the fast-eval state ----
             rel = ins_pos - ego_pos
@@ -729,7 +736,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
     def _do_insert(params, carry, c, slot, do_insert, next_pos, g_idx,
                    type_idx, shape_pred, ego_pos, ego_head, x_pt, pt_pos,
-                   pt_orient, pt_mask, tables, av):
+                   pt_orient, pt_mask, tables, av, packs=None):
         """Slot activation with every write masked by `do_insert` (no cond)."""
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
@@ -837,10 +844,35 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
         x_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
         x_sub = jnp.concatenate([col_feat[None], x_col[idx_a]], axis=0)
-        refined_slot = apply_dec(params, AgentDecoder.refine_column_sub,
-                                 x_sub, x_pt[idx_p], r_pp, val_p, r_aa, val_a)
-        heads = apply_dec(params, AgentDecoder.refine_heads, refined_slot)
-        heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
+        if use_refk:
+            # one fused Mosaic kernel for the whole refine pass
+            # (ops/refine_kernel); relation embeddings computed here, the
+            # attention/zero-agg/heads inside the kernel
+            D_ = cfg.hidden_dim
+            R_ = REFINE_PL2SA_K                   # 32 rows: 1+24 padded
+            r_pl_e = apply_dec(params, AgentDecoder.embed_pl2a_r, r_pp)
+            r_aa_e = apply_dec(params, AgentDecoder.embed_a2a_r, r_aa)
+            x_pad = jnp.zeros((R_, D_), x_sub.dtype).at[:x_sub.shape[0]].set(
+                x_sub)
+            raa_pad = jnp.zeros((R_, D_), r_aa_e.dtype).at[1:1 + r_aa_e.shape[0]
+                                                           ].set(r_aa_e)
+            mpl_f = jnp.broadcast_to(val_p[:, None],
+                                     (R_, D_)).astype(jnp.float32)
+            ma_row = jnp.zeros((R_,), bool).at[1:1 + val_a.shape[0]].set(val_a)
+            ma_f = jnp.broadcast_to(ma_row[:, None],
+                                    (R_, D_)).astype(jnp.float32)
+            out2 = RFK.refine_kernel(
+                packs["refine"], x_pad.astype(jnp.float32), x_pt[idx_p],
+                r_pl_e, mpl_f, raa_pad, ma_f, skn_sel,
+                cfg.num_heads, cfg.head_dim, interpret=skn_interp)
+            heads = dict(head_logits=out2[0, :attr.angle_size],
+                         offset_xy=jnp.tanh(out2[1, :2]) * 2.0)
+        else:
+            refined_slot = apply_dec(params, AgentDecoder.refine_column_sub,
+                                     x_sub, x_pt[idx_p], r_pp, val_p, r_aa,
+                                     val_a)
+            heads = apply_dec(params, AgentDecoder.refine_heads, refined_slot)
+            heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
 
         if cfg.use_head_token:
             h_idx = jnp.argmax(heads["head_logits"]).astype(jnp.int32)
@@ -894,7 +926,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     # ---------------------------------------------------------------- #
 
     def _step(params, carry, t, x_pt, pt_pos, pt_orient, pt_mask, tables, av,
-              init_active, seed_vec, ptkv0, skn_packed):
+              init_active, seed_vec, ptkv0, packs):
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         c = t + 1  # current column
@@ -908,7 +940,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 t > 0,
                 lambda cr: _insertion(params, cr, c, x_pt, pt_pos, pt_orient,
                                       pt_mask, tables, av, seed_vec, ptkv0,
-                                      skn_packed),
+                                      packs),
                 lambda cr: (cr, jnp.int32(0),
                             jnp.zeros((cfg.insert_limit + 1,))),
                 carry)
