@@ -118,6 +118,8 @@ def main():
         cfg = cfg.replace(use_seed_kernel=False, use_seed_kernel_full=False)
     if os.environ.get("INFGEN_BENCH_SEEDK_FULL"):
         cfg = cfg.replace(use_seed_kernel_full=True)
+    if os.environ.get("INFGEN_BENCH_REFK"):
+        cfg = cfg.replace(use_refine_kernel=True)
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()

@@ -52,6 +52,11 @@ def main():
                     help="use_column_kernel=True (single-dispatch trunk column)")
     ap.add_argument("--sknf", action="store_true",
                     help="use_seed_kernel_full=True (precompute in-kernel)")
+    ap.add_argument("--refk", action="store_true",
+                    help="use_refine_kernel=True (fused per-insert refine)")
+    ap.add_argument("--latency", action="store_true",
+                    help="all latency-mode kernels (== configs/"
+                         "ours_long_term_latency.yaml)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -65,6 +70,11 @@ def main():
         cfg = cfg.replace(use_column_kernel=True)
     if args.sknf:
         cfg = cfg.replace(use_seed_kernel_full=True)
+    if args.refk:
+        cfg = cfg.replace(use_refine_kernel=True)
+    if args.latency:
+        cfg = cfg.replace(use_seed_kernel_full=True, use_refine_kernel=True,
+                          use_column_kernel=True)
     attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
                          cfg.angle_interval)
     mt = MotionTokenizer()
