@@ -186,7 +186,9 @@ class Config:
     # per chip (0.223 vs 0.283 s/step) but batch 8 then needs 35 GB HBM
     # (OOM on 16 GB); keep ON for large per-chip batches.
     remat_attention: bool = True
-    # data-axis size for the default Trainer mesh; 0 = all local devices
+    # Trainer mesh: {"data": d, "model": m}. data=0 means "all remaining
+    # devices"; model>1 enables Megatron-style tensor parallelism over
+    # attention heads + MLP (infgen_tpu/parallel/tp.py)
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 0})
     # matmul compute dtype ("float32" | "bfloat16"); master params, LN stats,
     # softmax, and losses stay float32 (ops/precision.py)

@@ -89,7 +89,9 @@ def train(cfg: Config, dataset, save_dir: str = "runs/default",
     steps_this_run = 0  # local counter: resumed runs restart at step>10
 
     trainer = Trainer(cfg)
-    n_dev = trainer.mesh.devices.size
+    # global batch = per-device batch x data-axis size (model-axis devices
+    # hold shards of the same replica, not extra batch rows)
+    n_dev = int(trainer.mesh.shape.get("data", trainer.mesh.devices.size))
     batch_size = max(cfg.train_batch_size, 1) * n_dev
 
     rng = jax.random.PRNGKey(cfg.seed)

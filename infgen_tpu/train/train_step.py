@@ -70,8 +70,14 @@ class Trainer:
         if mesh is None:
             import numpy as np
             devs = jax.devices()
-            n = cfg.mesh_shape.get("data", 0) or len(devs)
-            mesh = Mesh(np.array(devs[:n]), axis_names=("data",))
+            tp = cfg.mesh_shape.get("model", 1)
+            if tp > 1:
+                from infgen_tpu.parallel.tp import make_mesh
+                mesh = make_mesh(devs, data=cfg.mesh_shape.get("data", 0),
+                                 model=tp)
+            else:
+                n = cfg.mesh_shape.get("data", 0) or len(devs)
+                mesh = Mesh(np.array(devs[:n]), axis_names=("data",))
         self.mesh = mesh
         self._jit_step = None
 
@@ -127,11 +133,16 @@ class Trainer:
 
     # ---------------- step ----------------
 
-    def make_train_step(self):
+    def make_train_step(self, state_shardings=None):
         # NOTE: the input TrainState is DONATED — its buffers are invalidated
         # by the call. Snapshot with jax.device_get(state) before stepping if
         # you need the old parameters (e.g. trained-vs-untrained comparisons).
-        @partial(jax.jit, donate_argnums=(0,))
+        # Pinning out_shardings to the input placement keeps the state layout
+        # stable across steps (otherwise GSPMD may pick different shardings
+        # for the updated params, forcing a reshard + recompile at step 2).
+        kw = {} if state_shardings is None else {
+            "out_shardings": (state_shardings, None)}
+        @partial(jax.jit, donate_argnums=(0,), **kw)
         def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
             (loss, logs), grads = jax.value_and_grad(
                 self.batch_loss, has_aux=True)(state.params, batch, rng)
@@ -145,7 +156,11 @@ class Trainer:
 
     def train_step(self, state, batch, rng):
         if self._jit_step is None:
-            self._jit_step = self.make_train_step()
+            try:
+                shardings = jax.tree.map(lambda x: x.sharding, state)
+            except AttributeError:   # host-side numpy leaves: let XLA place
+                shardings = None
+            self._jit_step = self.make_train_step(shardings)
         return self._jit_step(state, batch, rng)
 
     # ---------------- sharding helpers ----------------
@@ -156,8 +171,25 @@ class Trainer:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     def replicate_state(self, state):
+        """Place the TrainState on the mesh: replicated on a pure-data mesh,
+        Megatron-sharded over the `model` axis when the mesh has one."""
+        if int(self.mesh.shape.get("model", 1)) > 1:
+            from infgen_tpu.parallel.tp import state_sharding_tree
+            shardings = state_sharding_tree(state, self.mesh)
+            return jax.tree.map(jax.device_put, state, shardings)
         sharding = NamedSharding(self.mesh, P())
         return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+    def param_shardings(self, params):
+        """NamedSharding pytree for bare params under the current mesh."""
+        tp = int(self.mesh.shape.get("model", 1))
+        if tp > 1:
+            from infgen_tpu.parallel.tp import tree_param_specs
+            return jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s),
+                tree_param_specs(params, tp),
+                is_leaf=lambda x: isinstance(x, P))
+        return jax.tree.map(lambda _: NamedSharding(self.mesh, P()), params)
 
 
 def stack_scenarios(scenarios):
