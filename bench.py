@@ -223,6 +223,34 @@ def main():
         except Exception as e:
             print(f"# trained-model bench skipped: {e}", file=sys.stderr)
 
+    # occupancy-bucketed serving (rollout/serving.py): rerun the SAME scenes
+    # and params in a smaller agent-capacity program. Active agent-steps/s is
+    # the work metric, so the comparison is honest even though a smaller
+    # bucket caps insertion capacity sooner (documented serving tradeoff).
+    value_b = bucket = None
+    if os.environ.get("INFGEN_BENCH_BUCKET"):
+        try:
+            from infgen_tpu.rollout.serving import repad_scenario
+            bucket = int(os.environ["INFGEN_BENCH_BUCKET"])
+            cfg_b = cfg.replace(max_agents=bucket)
+            scens_b = [repad_scenario(s, bucket, cfg.max_map_tokens)
+                       for s in scens]
+            batch_b = stack_scenarios(scens_b)
+            build_b = jax.jit(jax.vmap(
+                lambda s, r: build_model_inputs(cfg_b, mt, attr, s, r)))
+            inputs_b = jax.block_until_ready(build_b(batch_b, rngs))
+            model_b = InfGenModel(cfg_b, attr.grid, attr.grid_size,
+                                  attr.angle_size)
+            rollout_b = make_rollout_fn(model_b, cfg_b, attr, mt, map_vocab,
+                                        jit=False)
+            batched_b = jax.jit(jax.vmap(rollout_b, in_axes=(None, 0, 0, 0)))
+            pb = params_t if value_t is not None else params
+            _, asteps_b, dt_b = _measure(batched_b, pb, batch_b, inputs_b,
+                                         B, Hs, n_rep=3)
+            value_b = asteps_b / dt_b
+        except Exception as e:
+            print(f"# bucketed bench skipped: {e}", file=sys.stderr)
+
     baseline, baseline_kind = _measured_baseline()
     print(json.dumps({
         "metric": "agent_steps_per_sec",
@@ -237,6 +265,8 @@ def main():
         "agents_final_trained": n_agents_t,
         "trained_steps": train_steps,
         "single_rollout_ms": round(dt_one * 1e3, 1),
+        "value_bucketed": None if value_b is None else round(value_b, 1),
+        "bucket_agents": bucket,
         "flops_per_batched_rollout": flops_per_batch,
         "mfu_vs_bf16_peak": None if mfu is None else round(mfu, 5),
         "compute_dtype": cfg.compute_dtype,

@@ -1,0 +1,134 @@
+"""Occupancy-bucketed rollout serving.
+
+XLA programs have static shapes, so a single compiled rollout always pays the
+full `max_agents` x `max_map_tokens` cost: a 20-agent scene on the default
+A=128 program wastes >80% of the attention/matmul work on inactive slots
+(the reference has the same constant `buffer_size=128` cost, built one agent
+at a time — agent_decoder.py:1920-1999). The server keeps one compiled
+executable per (A, P) capacity bucket and dispatches each scenario to the
+smallest bucket that fits its live agent count (plus insertion headroom) and
+map-token count. Model parameters are shape-independent (attention is data-
+shaped in A and P), so one checkpoint serves every bucket.
+
+Semantics per bucket are the standard rollout semantics at that capacity:
+a smaller bucket means insertion can saturate sooner (as it would in the
+reference with a smaller buffer_size). Pick `agent_headroom` accordingly.
+"""
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from infgen_tpu.config import Config
+from infgen_tpu.data.features import build_model_inputs
+from infgen_tpu.data.scenario import AgentData, MapData, Scenario, pad_axis
+
+
+def repad_scenario(scenario: Scenario, max_agents: int,
+                   max_map_tokens: int) -> Scenario:
+    """Re-pad a fixed-shape Scenario to a different (A, P) capacity.
+
+    Shrinking requires that all real agents / map tokens still fit — real
+    rows are never truncated (asserts host-side).
+    """
+    ag, mp = scenario.agents, scenario.map
+    n_agent = int(np.asarray(ag.slot_mask).sum())
+    n_pt = int(np.asarray(mp.mask).sum())
+    assert n_agent <= max_agents, (n_agent, max_agents)
+    assert n_pt <= max_map_tokens, (n_pt, max_map_tokens)
+    assert int(np.asarray(ag.av_index)) < max_agents
+
+    def rag(x):
+        return pad_axis(np.asarray(x), max_agents)
+
+    agents = AgentData(
+        valid=rag(ag.valid), position=rag(ag.position),
+        elevation=rag(ag.elevation), heading=rag(ag.heading),
+        velocity=rag(ag.velocity), shape=rag(ag.shape), type=rag(ag.type),
+        slot_mask=rag(ag.slot_mask), train_mask=rag(ag.train_mask),
+        av_index=np.asarray(ag.av_index))
+
+    def rpt(x, fill=0):
+        return pad_axis(np.asarray(x), max_map_tokens, fill=fill)
+
+    maps = MapData(
+        position=rpt(mp.position), orientation=rpt(mp.orientation),
+        token_idx=rpt(mp.token_idx), pt_type=rpt(mp.pt_type),
+        pt_side=rpt(mp.pt_side), pl_type=rpt(mp.pl_type),
+        light_type=rpt(mp.light_type), chain_id=rpt(mp.chain_id, fill=-1),
+        chain_pos=rpt(mp.chain_pos, fill=-1), mask=rpt(mp.mask))
+    return Scenario(agents=agents, map=maps, scenario_id=scenario.scenario_id)
+
+
+class RolloutServer:
+    """Dispatch scenarios to the smallest compiled rollout that fits them.
+
+    One instance owns the tokenizers and a compile cache keyed by (A, P);
+    executables are built lazily on first use (and land in the persistent XLA
+    compile cache, so warm processes re-load instead of re-compiling).
+    """
+
+    def __init__(self, cfg: Config, attr, motion_tok, map_vocab,
+                 agent_buckets: Sequence[int] = (32, 64, 128),
+                 map_buckets: Optional[Sequence[int]] = None,
+                 agent_headroom: int = 8,
+                 num_recurrent_steps: Optional[int] = None,
+                 force_insert: bool = False):
+        self.cfg = cfg
+        self.attr = attr
+        self.motion_tok = motion_tok
+        self.map_vocab = map_vocab
+        self.agent_buckets = sorted(set(
+            min(b, cfg.max_agents) for b in agent_buckets) | {cfg.max_agents})
+        self.map_buckets = sorted(set(
+            min(b, cfg.max_map_tokens) for b in
+            (map_buckets or [cfg.max_map_tokens])) | {cfg.max_map_tokens})
+        self.agent_headroom = agent_headroom
+        self.num_recurrent_steps = num_recurrent_steps
+        self.force_insert = force_insert
+        self._fns: Dict[Tuple[int, int], Tuple] = {}
+
+    def bucket_for(self, scenario: Scenario) -> Tuple[int, int]:
+        n_agent = int(np.asarray(scenario.agents.slot_mask).sum())
+        n_pt = int(np.asarray(scenario.map.mask).sum())
+        need_a = n_agent + self.agent_headroom
+        A = next((b for b in self.agent_buckets if b >= need_a),
+                 self.agent_buckets[-1])
+        P = next((b for b in self.map_buckets if b >= n_pt),
+                 self.map_buckets[-1])
+        # never shrink below what the scenario actually holds
+        while A < n_agent:
+            A = next(b for b in self.agent_buckets if b > A)
+        return A, P
+
+    def _get(self, A: int, P: int):
+        key = (A, P)
+        if key not in self._fns:
+            from infgen_tpu.model.infgen import InfGenModel
+            from infgen_tpu.rollout.closed_loop import make_rollout_fn
+
+            cfg = self.cfg.replace(max_agents=A, max_map_tokens=P)
+            # params are capacity-independent, so reuse the caller's model
+            # module when shapes allow; a fresh module with the bucket cfg
+            # produces the identical parameter tree
+            model = InfGenModel(cfg, self.attr.grid, self.attr.grid_size,
+                                self.attr.angle_size)
+            fn = make_rollout_fn(model, cfg, self.attr, self.motion_tok,
+                                 self.map_vocab,
+                                 num_recurrent_steps=self.num_recurrent_steps,
+                                 force_insert=self.force_insert)
+            build = jax.jit(lambda s, r: build_model_inputs(
+                cfg, self.motion_tok, self.attr, s, r))
+            self._fns[key] = (fn, build)
+        return self._fns[key]
+
+    def rollout(self, params, scenario: Scenario, rng,
+                input_rng=None) -> Dict:
+        """Run one scenario at its bucket capacity. Output arrays are shaped
+        to the chosen bucket (out["pred_traj"].shape[0] == bucket A)."""
+        A, P = self.bucket_for(scenario)
+        fn, build = self._get(A, P)
+        scen = repad_scenario(scenario, A, P)
+        inputs = build(scen, rng if input_rng is None else input_rng)
+        return fn(params, scen, inputs, rng)

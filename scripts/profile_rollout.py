@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--latency", action="store_true",
                     help="all latency-mode kernels (== configs/"
                          "ours_long_term_latency.yaml)")
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="occupancy bucket: rerun at max_agents=BUCKET via "
+                         "rollout/serving.py repadding (0 = off)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -108,6 +111,23 @@ def main():
                          inserted=int(np.asarray(out["n_inserted"])),
                          ms_per_step=round(ms / (args.steps // 5), 3))
         print(f"{name}: {json.dumps(res[name])}", flush=True)
+
+    if args.bucket:
+        from infgen_tpu.rollout.serving import repad_scenario
+        cfg_b = cfg.replace(max_agents=args.bucket)
+        scen_b = repad_scenario(scen, args.bucket, cfg.max_map_tokens)
+        inputs_b = jax.block_until_ready(jax.jit(
+            lambda s, r: build_model_inputs(cfg_b, mt, attr, s, r))(
+                scen_b, jax.random.PRNGKey(0)))
+        model_b = InfGenModel(cfg_b, attr.grid, attr.grid_size,
+                              attr.angle_size)
+        fn = make_rollout_fn(model_b, cfg_b, attr, mt, map_vocab)
+        ms, out = timed(fn, params, scen_b, inputs_b, rng)
+        res[f"bucket_{args.bucket}"] = dict(
+            ms=round(ms, 1), inserted=int(np.asarray(out["n_inserted"])),
+            ms_per_step=round(ms / (args.steps // 5), 3))
+        print(f"bucket_{args.bucket}: "
+              f"{json.dumps(res[f'bucket_{args.bucket}'])}", flush=True)
 
     if args.trace:
         fn = make_rollout_fn(model, cfg, attr, mt, map_vocab)

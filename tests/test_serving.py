@@ -1,0 +1,95 @@
+"""Occupancy-bucketed rollout serving (infgen_tpu/rollout/serving.py).
+
+Capacity invariance is the load-bearing property: a scenario rolled out in a
+smaller (A, P) bucket must produce exactly the trajectories of the full-
+capacity program, because inactive slots and padded map tokens are masked out
+of every attention/aggregation. (The reference pays constant buffer_size=128
+cost instead — agent_decoder.py:1920-1999.)
+"""
+
+import jax
+import numpy as np
+
+from infgen_tpu.config import Config
+from infgen_tpu.data.features import build_model_inputs
+from infgen_tpu.data.scenario import Scenario
+from infgen_tpu.data.synthetic import make_synthetic_scenario
+from infgen_tpu.rollout.serving import RolloutServer, repad_scenario
+from infgen_tpu.train.train_step import Trainer
+
+TINY = dict(max_agents=16, max_map_tokens=128, num_agent_layers=2,
+            num_seed_layers=1, num_map_layers=1, hidden_dim=32,
+            num_heads=2, head_dim=16, num_freq_bands=8,
+            num_seed_feature=4, num_recurrent_steps_val=20,
+            # deterministic: argmax motion token, no insertions
+            motion_beam_size=1, insert_limit=0)
+
+
+def _setup():
+    cfg = Config(**TINY)
+    tr = Trainer(cfg)
+    scen = make_synthetic_scenario(cfg, seed=0, num_agents=6)
+    state = tr.init_state(jax.random.PRNGKey(0), scen)
+    return cfg, tr, scen, state
+
+
+def test_repad_roundtrip():
+    cfg, tr, scen, _ = _setup()
+    # the synthetic generator fills every map-token slot, so only the agent
+    # axis can shrink here; shrinking P below the real token count must raise
+    small = repad_scenario(scen, 8, cfg.max_map_tokens)
+    assert small.agents.position.shape[0] == 8
+    assert small.map.position.shape[0] == cfg.max_map_tokens
+    import pytest
+    with pytest.raises(AssertionError):
+        repad_scenario(scen, 8, 64)
+    back = repad_scenario(small, cfg.max_agents, cfg.max_map_tokens)
+    n = int(np.asarray(scen.agents.slot_mask).sum())
+    np.testing.assert_array_equal(
+        np.asarray(back.agents.position)[:n],
+        np.asarray(scen.agents.position)[:n])
+    np.testing.assert_array_equal(np.asarray(back.agents.slot_mask),
+                                  np.asarray(scen.agents.slot_mask))
+    p = int(np.asarray(scen.map.mask).sum())
+    np.testing.assert_array_equal(np.asarray(back.map.token_idx)[:p],
+                                  np.asarray(scen.map.token_idx)[:p])
+
+
+def test_bucket_selection():
+    cfg, tr, scen, _ = _setup()
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(8, 16), map_buckets=(64, 128),
+                        agent_headroom=2)
+    A, P = srv.bucket_for(scen)   # 6 agents + 2 headroom -> 8
+    assert A == 8
+    assert P in (64, 128)
+    srv_big = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                            agent_buckets=(8, 16), agent_headroom=8)
+    assert srv_big.bucket_for(scen)[0] == 16
+
+
+def test_capacity_invariant_rollout():
+    from infgen_tpu.rollout.closed_loop import make_rollout_fn
+
+    cfg, tr, scen, state = _setup()
+    rng = jax.random.PRNGKey(3)
+    inputs = jax.jit(lambda s, r: build_model_inputs(
+        cfg, tr.motion_tok, tr.attr, s, r))(scen, rng)
+    full = make_rollout_fn(tr.model, cfg, tr.attr, tr.motion_tok,
+                           tr.map_vocab)
+    out_full = full(state.params, scen, inputs, rng)
+
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(8, 16), map_buckets=(64, 128),
+                        agent_headroom=2)
+    out_small = srv.rollout(state.params, scen, rng, input_rng=rng)
+    n = int(np.asarray(scen.agents.slot_mask).sum())
+    assert out_small["pred_traj"].shape[0] == 8          # ran in the bucket
+    np.testing.assert_array_equal(
+        np.asarray(out_small["next_token_idx"])[:n],
+        np.asarray(out_full["next_token_idx"])[:n])
+    np.testing.assert_allclose(np.asarray(out_small["pred_traj"])[:n],
+                               np.asarray(out_full["pred_traj"])[:n],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_small["slot_active"])[:n],
+                                  np.asarray(out_full["slot_active"])[:n])
