@@ -31,7 +31,10 @@ class _ValOffset:
 def main(argv=None):
     p = argparse.ArgumentParser("infgen_tpu")
     p.add_argument("mode", choices=["train", "validate", "rollout",
-                                    "check-inputs"])
+                                    "check-inputs", "export"])
+    p.add_argument("--out", default=None,
+                   help="export: output artifact path (default "
+                        "<save_dir>/rollout_a<A>.stablehlo)")
     p.add_argument("--open_loop", action="store_true",
                    help="validate: open-loop losses instead of rollouts")
     p.add_argument("--config", default=None, help="YAML config path")
@@ -87,7 +90,9 @@ def main(argv=None):
             # train() consumes train_batch_size * n_dev items per step, and a
             # smaller dataset would yield zero batches per epoch.
             from infgen_tpu.train.loop import OverfitDataset
-            n_dev = cfg.mesh_shape.get("data", 0) or jax.local_device_count()
+            tp = max(1, cfg.mesh_shape.get("model", 1))
+            n_dev = cfg.mesh_shape.get("data", 0) \
+                or jax.local_device_count() // tp
             dataset = OverfitDataset(
                 dataset, max(cfg.train_batch_size, 1) * n_dev)
             cfg = cfg.replace(max_epochs=max(cfg.max_epochs, 100))
@@ -118,6 +123,40 @@ def main(argv=None):
             from infgen_tpu.data.waymo import WaymoDataset
             dataset = WaymoDataset(args.data_dir, cfg, training=False)
         check_inputs(cfg, dataset, args.num_scenarios)
+
+    elif args.mode == "export":
+        # AOT-export the rollout at the config's (A, P) capacity for
+        # deployment without model code (rollout/export.py)
+        from infgen_tpu.data.features import build_model_inputs
+        from infgen_tpu.rollout.export import (
+            export_rollout, save_rollout_artifact)
+        from infgen_tpu.train.loop import SyntheticDataset
+        from infgen_tpu.train.train_step import Trainer
+        trainer = Trainer(cfg)
+        if args.synthetic or not args.data_dir:
+            scen = SyntheticDataset(cfg, size=1)[0]
+        else:
+            from infgen_tpu.data.waymo import WaymoDataset
+            scen = WaymoDataset(args.data_dir, cfg, training=False)[0]
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed), scen)
+        params = state.params
+        if args.ckpt_path:
+            from infgen_tpu.train.checkpoint import CheckpointManager
+            restored = CheckpointManager(args.ckpt_path).restore(
+                jax.device_get(state))
+            if restored is not None:
+                params = restored.params
+        rng = jax.random.PRNGKey(0)
+        inputs = jax.jit(lambda s, r: build_model_inputs(
+            cfg, trainer.motion_tok, trainer.attr, s, r))(scen, rng)
+        blob = export_rollout(cfg, trainer.attr, trainer.motion_tok,
+                              trainer.map_vocab, scen, inputs, rng, params)
+        out = args.out or os.path.join(
+            args.save_dir, f"rollout_a{cfg.max_agents}.stablehlo")
+        save_rollout_artifact(out, blob)
+        print(json.dumps({"artifact": out, "bytes": len(blob),
+                          "max_agents": cfg.max_agents,
+                          "max_map_tokens": cfg.max_map_tokens}))
 
     elif args.mode == "validate" and (args.open_loop or cfg.val_open_loop):
         from infgen_tpu.train.loop import SyntheticDataset, validate_open_loop
