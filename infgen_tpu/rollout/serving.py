@@ -19,6 +19,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
+from jax.numpy import stack as jnp_stack
 
 from infgen_tpu.config import Config
 from infgen_tpu.data.features import build_model_inputs
@@ -132,3 +133,48 @@ class RolloutServer:
         scen = repad_scenario(scenario, A, P)
         inputs = build(scen, rng if input_rng is None else input_rng)
         return fn(params, scen, inputs, rng)
+
+    def _get_batched(self, A: int, P: int, B: int):
+        key = (A, P, B)
+        if key not in self._fns:
+            fn, build = self._get(A, P)
+            self._fns[key] = (
+                jax.jit(jax.vmap(fn, in_axes=(None, 0, 0, 0))),
+                jax.jit(jax.vmap(build)))
+        return self._fns[key]
+
+    def rollout_batch(self, params, scenarios: Sequence[Scenario], rngs,
+                      input_rngs=None) -> list:
+        """Batched dispatch: group scenarios by capacity bucket, run each
+        group through a vmapped executable at the next batch-size bucket
+        (powers of two, so compile count stays bounded), and return one
+        output dict per scenario in input order.
+
+        `rngs` is either one PRNGKey (split per scenario) or a sequence of
+        per-scenario keys. Tail slots of a padded batch re-run the group's
+        last scenario and are discarded.
+        """
+        from infgen_tpu.train.train_step import stack_scenarios
+
+        n = len(scenarios)
+        if hasattr(rngs, "ndim") and getattr(rngs, "ndim", 1) <= 1:
+            rngs = list(jax.random.split(rngs, n))
+        rngs = list(rngs)
+        input_rngs = rngs if input_rngs is None else list(input_rngs)
+        groups: Dict[Tuple[int, int], list] = {}
+        for i, s in enumerate(scenarios):
+            groups.setdefault(self.bucket_for(s), []).append(i)
+
+        results: list = [None] * n
+        for (A, P), idxs in groups.items():
+            B = 1 << (len(idxs) - 1).bit_length()   # next power of two
+            fn, build = self._get_batched(A, P, B)
+            pad = idxs + [idxs[-1]] * (B - len(idxs))
+            batch = stack_scenarios(
+                [repad_scenario(scenarios[i], A, P) for i in pad])
+            r = jnp_stack([rngs[i] for i in pad])
+            ir = jnp_stack([input_rngs[i] for i in pad])
+            out = fn(params, batch, build(batch, ir), r)
+            for j, i in enumerate(idxs):
+                results[i] = jax.tree.map(lambda x, j=j: x[j], out)
+        return results

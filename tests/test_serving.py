@@ -68,6 +68,27 @@ def test_bucket_selection():
     assert srv_big.bucket_for(scen)[0] == 16
 
 
+def test_batched_dispatch_matches_single():
+    """rollout_batch groups by bucket + pads to power-of-two batches; every
+    scenario must reproduce its single-dispatch result exactly."""
+    cfg, tr, _, state = _setup()
+    scens = [make_synthetic_scenario(cfg, seed=s, num_agents=n)
+             for s, n in [(0, 4), (1, 12), (2, 5)]]   # buckets 8, 16, 8
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(8, 16), agent_headroom=2)
+    rngs = list(jax.random.split(jax.random.PRNGKey(7), 3))
+    outs = srv.rollout_batch(state.params, scens, rngs)
+    assert outs[0]["pred_traj"].shape[0] == 8
+    assert outs[1]["pred_traj"].shape[0] == 16
+    for scen, rng, out in zip(scens, rngs, outs):
+        single = srv.rollout(state.params, scen, rng, input_rng=rng)
+        np.testing.assert_array_equal(np.asarray(out["next_token_idx"]),
+                                      np.asarray(single["next_token_idx"]))
+        np.testing.assert_allclose(np.asarray(out["pred_traj"]),
+                                   np.asarray(single["pred_traj"]),
+                                   atol=1e-5)
+
+
 def test_capacity_invariant_rollout():
     from infgen_tpu.rollout.closed_loop import make_rollout_fn
 
