@@ -18,8 +18,8 @@ reference with a smaller buffer_size). Pick `agent_headroom` accordingly.
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
-from jax.numpy import stack as jnp_stack
 
 from infgen_tpu.config import Config
 from infgen_tpu.data.features import build_model_inputs
@@ -157,8 +157,12 @@ class RolloutServer:
         from infgen_tpu.train.train_step import stack_scenarios
 
         n = len(scenarios)
-        if hasattr(rngs, "ndim") and getattr(rngs, "ndim", 1) <= 1:
-            rngs = list(jax.random.split(rngs, n))
+        if hasattr(rngs, "ndim"):
+            # a single key (legacy uint32 [2] or typed scalar) is split per
+            # scenario; a stacked batch of keys is used as-is
+            is_typed = jnp.issubdtype(rngs.dtype, jax.dtypes.prng_key)
+            if rngs.ndim == (0 if is_typed else 1):
+                rngs = list(jax.random.split(rngs, n))
         rngs = list(rngs)
         input_rngs = rngs if input_rngs is None else list(input_rngs)
         groups: Dict[Tuple[int, int], list] = {}
@@ -172,8 +176,8 @@ class RolloutServer:
             pad = idxs + [idxs[-1]] * (B - len(idxs))
             batch = stack_scenarios(
                 [repad_scenario(scenarios[i], A, P) for i in pad])
-            r = jnp_stack([rngs[i] for i in pad])
-            ir = jnp_stack([input_rngs[i] for i in pad])
+            r = jnp.stack([rngs[i] for i in pad])
+            ir = jnp.stack([input_rngs[i] for i in pad])
             out = fn(params, batch, build(batch, ir), r)
             for j, i in enumerate(idxs):
                 results[i] = jax.tree.map(lambda x, j=j: x[j], out)
