@@ -103,7 +103,8 @@ def pack_refine_params(dp, L: int, angle_size: int, dtype) -> dict:
     packed["bh0"] = jnp.stack([h["Dense_0"]["bias"] for h in hs])
     packed["lnh_s"] = jnp.stack([h["LayerNorm_0"]["scale"] for h in hs])
     packed["lnh_b"] = jnp.stack([h["LayerNorm_0"]["bias"] for h in hs])
-    Ho = 128
+    # pad head outputs (angle_size and 2) to a shared 128-multiple lane count
+    Ho = -(-max(angle_size, 2) // 128) * 128
     wh1, bh1 = [], []
     for h in hs:
         w, b = h["Dense_1"]["kernel"], h["Dense_1"]["bias"]
@@ -121,7 +122,7 @@ _ORDER = ("lnq_s", "lnq_b", "lns_s", "lns_b", "wq", "bq", "wk", "wv", "bv",
           "wh1", "bh1")
 
 
-def _kernel(L, H, Hd, scale,
+def _kernel(L, scale,
             x_ref, plk_ref, rpl_ref, mpl_ref, raa_ref, ma_ref, S_ref, St_ref,
             lnq_s, lnq_b, lns_s, lns_b, wq, bq, wk, wv, bv,
             lnr_s, lnr_b, wkr, wvr, bvr, wg, bg, ws, bs, wo, bo,
@@ -195,16 +196,20 @@ def refine_kernel(packed: dict, x_sub, pl_keys, r_pl, maskf_pl, r_aa,
     agent (rows past the real neighborhood are zero-padded and masked);
     pl_keys/r_pl [R, D]; r_aa [R, D] aligned to x rows (relation of key
     row k, rows 0 and padding masked); maskf_* [R, D] f32. Returns
-    out [2, 128] f32: row 0 = heading-token logits (leading angle_size
-    lanes), row 1 = offset head output (leading 2 lanes, pre-tanh)."""
+    out [2, Ho] f32 (Ho = angle_size rounded up to 128 lanes): row 0 =
+    heading-token logits (leading angle_size lanes), row 1 = offset head
+    output (leading 2 lanes, pre-tanh). num_heads/head_dim describe the
+    packed params' head layout (encoded in the selector S; only the
+    softmax scale is used directly)."""
     L = packed["wq"].shape[0] // 2
-    kern = partial(_kernel, L, num_heads, head_dim, head_dim ** -0.5)
+    Ho = packed["wh1"].shape[2]
+    kern = partial(_kernel, L, head_dim ** -0.5)
     args = [x_sub, pl_keys, r_pl, maskf_pl, r_aa, maskf_a,
             jnp.asarray(S), jnp.asarray(S).T]
     args += [packed[k] for k in _ORDER]
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((2, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, Ho), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,

@@ -43,8 +43,16 @@ def make_mesh(devices=None, data: int = 0, model: int = 1) -> Mesh:
     """Build a ("data", "model") mesh. data=0 means "all remaining"."""
     devices = np.asarray(jax.devices() if devices is None else devices)
     model = max(1, model)
+    if devices.size < model:
+        raise ValueError(f"model={model} needs >= {model} devices, "
+                         f"have {devices.size}")
     if data <= 0:
         data = devices.size // model
+        if data * model < devices.size:
+            import warnings
+            warnings.warn(f"mesh {data}x{model} uses only {data * model} of "
+                          f"{devices.size} devices (size not divisible by "
+                          f"model={model})")
     n = data * model
     assert n <= devices.size, f"mesh {data}x{model} needs {n} devices"
     return Mesh(devices[:n].reshape(data, model), axis_names=("data", "model"))

@@ -34,10 +34,14 @@ def repad_scenario(scenario: Scenario, max_agents: int,
     rows are never truncated (asserts host-side).
     """
     ag, mp = scenario.agents, scenario.map
-    n_agent = int(np.asarray(ag.slot_mask).sum())
-    n_pt = int(np.asarray(mp.mask).sum())
-    assert n_agent <= max_agents, (n_agent, max_agents)
-    assert n_pt <= max_map_tokens, (n_pt, max_map_tokens)
+    # check the masks BEYOND the cut, not just counts: real rows may sit in
+    # non-contiguous slots (e.g. after a rollout activated high slots)
+    slot_mask = np.asarray(ag.slot_mask)
+    pt_mask = np.asarray(mp.mask)
+    assert not slot_mask[max_agents:].any(), (
+        f"real agent rows beyond slot {max_agents}")
+    assert not pt_mask[max_map_tokens:].any(), (
+        f"real map tokens beyond index {max_map_tokens}")
     assert int(np.asarray(ag.av_index)) < max_agents
 
     def rag(x):
@@ -91,16 +95,20 @@ class RolloutServer:
         self._fns: Dict[Tuple[int, int], Tuple] = {}
 
     def bucket_for(self, scenario: Scenario) -> Tuple[int, int]:
-        n_agent = int(np.asarray(scenario.agents.slot_mask).sum())
-        n_pt = int(np.asarray(scenario.map.mask).sum())
+        # highest real row +1, not the count: real rows may be non-contiguous
+        slot_mask = np.asarray(scenario.agents.slot_mask)
+        pt_mask = np.asarray(scenario.map.mask)
+        n_agent = int(np.max(np.nonzero(slot_mask)[0], initial=-1)) + 1
+        n_pt = int(np.max(np.nonzero(pt_mask)[0], initial=-1)) + 1
+        if n_agent > self.agent_buckets[-1] or n_pt > self.map_buckets[-1]:
+            raise ValueError(
+                f"scenario needs (A>={n_agent}, P>={n_pt}) but the largest "
+                f"bucket is {(self.agent_buckets[-1], self.map_buckets[-1])}")
         need_a = n_agent + self.agent_headroom
-        A = next((b for b in self.agent_buckets if b >= need_a),
+        A = next((b for b in self.agent_buckets if b >= max(need_a, n_agent)),
                  self.agent_buckets[-1])
         P = next((b for b in self.map_buckets if b >= n_pt),
                  self.map_buckets[-1])
-        # never shrink below what the scenario actually holds
-        while A < n_agent:
-            A = next(b for b in self.agent_buckets if b > A)
         return A, P
 
     def _get(self, A: int, P: int):
@@ -157,14 +165,18 @@ class RolloutServer:
         from infgen_tpu.train.train_step import stack_scenarios
 
         n = len(scenarios)
-        if hasattr(rngs, "ndim"):
-            # a single key (legacy uint32 [2] or typed scalar) is split per
-            # scenario; a stacked batch of keys is used as-is
-            is_typed = jnp.issubdtype(rngs.dtype, jax.dtypes.prng_key)
-            if rngs.ndim == (0 if is_typed else 1):
-                rngs = list(jax.random.split(rngs, n))
-        rngs = list(rngs)
-        input_rngs = rngs if input_rngs is None else list(input_rngs)
+
+        def norm_keys(keys):
+            """One key (legacy uint32 [2] or typed scalar) -> split per
+            scenario; a stacked batch / sequence of keys -> as-is."""
+            if hasattr(keys, "ndim"):
+                is_typed = jnp.issubdtype(keys.dtype, jax.dtypes.prng_key)
+                if keys.ndim == (0 if is_typed else 1):
+                    keys = jax.random.split(keys, n)
+            return list(keys)
+
+        rngs = norm_keys(rngs)
+        input_rngs = rngs if input_rngs is None else norm_keys(input_rngs)
         groups: Dict[Tuple[int, int], list] = {}
         for i, s in enumerate(scenarios):
             groups.setdefault(self.bucket_for(s), []).append(i)

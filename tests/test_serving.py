@@ -55,6 +55,29 @@ def test_repad_roundtrip():
                                   np.asarray(scen.map.token_idx)[:p])
 
 
+def test_repad_noncontiguous_rows_and_oversize_errors():
+    """Shrinking must reject real rows BEYOND the cut even when the count
+    fits, and bucket_for must raise clearly for scenarios no bucket holds."""
+    import pytest
+    cfg, tr, scen, _ = _setup()
+    # move one real agent to the top slot: count still 6, but slot 15 real
+    ag = scen.agents
+    sm = np.asarray(ag.slot_mask).copy()
+    hole = int(np.nonzero(sm)[0][-1])
+    sm[hole], sm[15] = False, True
+    scen_hole = scen._replace(agents=ag._replace(slot_mask=sm))
+    with pytest.raises(AssertionError, match="beyond slot"):
+        repad_scenario(scen_hole, 8, cfg.max_map_tokens)
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(8,), agent_headroom=0)
+    assert srv.bucket_for(scen_hole)[0] == cfg.max_agents  # 16 still listed
+    srv_small = RolloutServer(
+        cfg.replace(max_agents=8), tr.attr, tr.motion_tok, tr.map_vocab,
+        agent_buckets=(8,), agent_headroom=0)
+    with pytest.raises(ValueError, match="largest bucket"):
+        srv_small.bucket_for(scen_hole)
+
+
 def test_bucket_selection():
     cfg, tr, scen, _ = _setup()
     srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,

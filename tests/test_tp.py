@@ -30,6 +30,14 @@ def _flat_named(params):
     return {jax.tree_util.keystr(p): l for p, l in flat}
 
 
+def test_make_mesh_validation():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(np.array(jax.devices()[:1]), model=2)
+    with pytest.warns(UserWarning, match="uses only"):
+        m = make_mesh(np.array(jax.devices()[:7]), model=3)
+    assert dict(m.shape) == {"data": 2, "model": 3}
+
+
 def test_param_spec_rules():
     cfg = Config(**TINY)
     tr = Trainer(cfg, mesh=make_mesh(data=4, model=2))
