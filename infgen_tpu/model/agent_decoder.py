@@ -343,7 +343,8 @@ class AgentDecoder(nn.Module):
     # ------------------------------------------------------------------ #
 
     def motion_column(self, x_c, key_stack, t_r_raw, t_mask,
-                      a2a_r_raw, a2a_mask, pl_keys, pl_r_raw, pl_mask):
+                      a2a_r_raw, a2a_mask, pl_keys, pl_r_raw, pl_mask,
+                      n_rows=None):
         """Run the 6-layer trunk for ONE token column.
 
         x_c        [A, D]   layer-0 input at the current column (raw fused)
@@ -352,6 +353,10 @@ class AgentDecoder(nn.Module):
         t_r_raw    [A, W, 4]; t_mask [A, W]
         a2a_r_raw  [A, A, 3]; a2a_mask [A, A]
         pl_keys    [A, K, D] map features gathered per agent; pl_r_raw/pl_mask
+        n_rows     optional traced int32 occupancy bound: rows >= n_rows must
+                   have all key masks false (inactive slots); the column
+                   kernel then skips their per-query compute with identical
+                   outputs (ops/column_kernel._sublayer). XLA paths ignore it.
         Returns (new_cols [L, A, D], out [A, D]): new_cols[i] is the value to
         write into cache[i+1] at this column.
         """
@@ -380,7 +385,8 @@ class AgentDecoder(nn.Module):
             cols = motion_column_kernel(
                 packed, x_c, key_stack, r_t, t_mask, pl_keys, r_pl, pl_mask,
                 r_aa, a2a_mask, self.cfg.num_heads, self.cfg.head_dim,
-                compute_dtype=compute_dtype_of(self.cfg.compute_dtype))
+                compute_dtype=compute_dtype_of(self.cfg.compute_dtype),
+                n_rows=n_rows)
             # the scan cache carries the compute dtype (like the XLA path's
             # layer outputs); keep residuals fp32 inside the kernel only
             out_dt = compute_dtype_of(self.cfg.compute_dtype)

@@ -15,7 +15,16 @@ sequential grid over layers:
     resident across all grid steps (constant index_map -> fetched once),
   - the running column x lives in a VMEM scratch that persists across the
     sequential TPU grid, so no layer output ever round-trips HBM,
-  - per-layer weights ride in stacked [L, ...] arrays sliced by the grid.
+  - per-layer weights ride in stacked [L, ...] arrays sliced by the grid,
+  - each sublayer's per-query work runs as a `lax.fori_loop` over query
+    chunks with a DYNAMIC trip count ceil(n_rows / chunk): inactive agent
+    slots (all keys masked) skip their score/KV compute entirely while
+    still receiving the exact zero-aggregate epilogue — outputs are
+    bitwise-identical to the full computation, and runtime scales with the
+    OCCUPANCY of the padded agent array instead of its capacity. Measured
+    (v5e, flagship shapes): 407 us/column at 128/128 active, 346 at
+    64/128, 287 at 32/128 (vs 644 us for the straight-line predecessor
+    and 838 us for the XLA op-by-op column).
 
 Math is the DenseAttention forward (model/layers.py:100-255) exactly:
 fp32 LayerNorm statistics, fp32 score accumulation, masked softmax with
@@ -131,18 +140,36 @@ def _ln(x, s, b):
     return (x - m) * jax.lax.rsqrt(v + _LN_EPS) * s + b
 
 
-def _sublayer(x, xs, r, maskf, P, sel, selT, H, d, cdt, per_query, chunk):
+def _sublayer(x, xs_full, xs_chunk, r_chunk, mask_chunk, K, P, sel, selT,
+              H, d, cdt, chunk, n_rows, q_scr, agg_scr):
     """One DenseAttention forward for A queries; returns the new x (f32).
 
-    x [A, D] f32; xs [A, K, D] (per_query) or [K, D] (shared self keys), in
-    f32 (cast to cdt at matmul boundaries); r [A, K, D]; maskf [A, K] f32.
     P: dict name -> loaded param value (vectors [1, n], matrices [n, m]).
     chunk: query-chunk size (VMEM bound on the [chunk*K, D] intermediates).
+
+    Occupancy skip (n_rows, a traced int32 scalar): per-query score/KV work
+    runs as a `lax.fori_loop` over query chunks with a DYNAMIC trip count
+    ceil(n_rows / chunk) — the dynamic-occupancy gating the static-shape XLA
+    path cannot express. The loop body loads its chunk from refs with
+    `pl.ds` (Mosaic cannot dynamic-slice values) and one loop body means
+    scoped VMEM is a single chunk's footprint (predicated per-chunk blocks
+    each reserve their own stack and OOM). Rows >= n_rows must have every
+    key masked (inactive agent slots in the rollout); their aggregate stays
+    the zeroed scratch value, so the epilogue below produces EXACTLY the
+    zero-aggregate path the XLA motion_column computes for fully-masked
+    rows — bitwise-identical outputs, ~(1 - occupancy) of the per-query
+    compute skipped at runtime.
+
+    x: [A, D] f32 value (the running column). xs_chunk/r_chunk/mask_chunk:
+    callables c0 -> ([cq, K, D], [cq, K, D], [cq, K]) chunk loads from the
+    input refs (xs_chunk is None for shared self keys, where xs_full [A, D]
+    provides the key side).
     """
     A, D = x.shape
     HD = H * d
     scale = d ** -0.5
     f32 = jnp.float32
+    per_query = xs_chunk is not None
 
     def mm(a, w):
         return jax.lax.dot_general(a.astype(cdt), w,
@@ -150,26 +177,26 @@ def _sublayer(x, xs, r, maskf, P, sel, selT, H, d, cdt, per_query, chunk):
                                    preferred_element_type=f32)
 
     dst_n = _ln(x, P["lnd_s"], P["lnd_b"])                     # [A, D] f32
-    q_all = mm(dst_n, P["wq"]) + P["bq"]                       # [A, HD] f32
+    q_scr[...] = mm(dst_n, P["wq"]) + P["bq"]                  # [A, HD] f32
 
     if not per_query:
-        K = xs.shape[0]
-        src_n = _ln(xs, P["lns_s"], P["lns_b"])
-        k_sh = mm(src_n, P["wk"])                              # [K, HD]
+        src_n = _ln(xs_full, P["lns_s"], P["lns_b"])
+        k_sh = mm(src_n, P["wk"])                              # [A, HD]
         v_sh = mm(src_n, P["wv"]) + P["bv"]
-    else:
-        K = xs.shape[1]
 
-    aggs = []
-    for c0 in range(0, A, chunk):
-        cq = chunk
-        qc = q_all[c0:c0 + cq]                                 # [cq, HD]
-        rc = r[c0:c0 + cq].reshape(cq * K, D)
+    agg_scr[...] = jnp.zeros(agg_scr.shape, f32)
+    cq = chunk
+    n_chunks = (jnp.clip(n_rows, 0, A) + cq - 1) // cq
+
+    def body(i, carry):
+        c0 = i * cq
+        qc = q_scr[pl.ds(c0, cq), :]                           # [cq, HD]
+        rc = r_chunk(c0).astype(f32).reshape(cq * K, D)
         rn = _ln(rc, P["lnr_s"], P["lnr_b"])
         kr = mm(rn, P["wkr"])                                  # [cq*K, HD]
         vr = mm(rn, P["wvr"]) + P["bvr"]
         if per_query:
-            sc = xs[c0:c0 + cq].reshape(cq * K, D)
+            sc = xs_chunk(c0).astype(f32).reshape(cq * K, D)
             sn = _ln(sc, P["lns_s"], P["lns_b"])
             k_eff = mm(sn, P["wk"]) + kr
             v_eff = mm(sn, P["wv"]) + P["bv"] + vr
@@ -184,7 +211,7 @@ def _sublayer(x, xs, r, maskf, P, sel, selT, H, d, cdt, per_query, chunk):
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=f32)
         sim = sim.reshape(cq, K, D)[:, :, :H] * scale          # [cq, K, H]
-        mf = maskf[c0:c0 + cq][:, :, None]                     # [cq, K, 1]
+        mf = mask_chunk(c0)[:, :, None]                        # [cq, K, 1]
         sim = sim * mf + (1.0 - mf) * NEG_INF
         mx = sim.max(axis=1)                                   # [cq, H]
         p = jnp.exp(sim - mx[:, None, :]) * mf
@@ -199,8 +226,11 @@ def _sublayer(x, xs, r, maskf, P, sel, selT, H, d, cdt, per_query, chunk):
             (((1,), (0,)), ((), ())), preferred_element_type=f32)
         agg = (p_full * v_eff).reshape(cq, K, HD).sum(axis=1) \
             / jnp.maximum(den_full, 1e-30)
-        aggs.append(agg)
-    agg = jnp.concatenate(aggs, axis=0) if len(aggs) > 1 else aggs[0]
+        agg_scr[pl.ds(c0, cq), :] = agg
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    agg = agg_scr[...]
 
     g = jax.nn.sigmoid(mm(agg, P["wga"]) + mm(dst_n, P["wgd"]) + P["bg"])
     s = mm(dst_n, P["ws"]) + P["bs"]
@@ -214,9 +244,9 @@ def _sublayer(x, xs, r, maskf, P, sel, selT, H, d, cdt, per_query, chunk):
 
 
 def _kernel(H, d, cdt, chunk,
-            x0_ref, keys_ref, rt_ref, mt_ref, plk_ref, rpl_ref, mpl_ref,
-            raa_ref, maa_ref, sel_ref, selT_ref, *rest):
-    param_refs, (out_ref, x_scr) = rest[:-2], rest[-2:]
+            nrows_ref, x0_ref, keys_ref, rt_ref, mt_ref, plk_ref, rpl_ref,
+            mpl_ref, raa_ref, maa_ref, sel_ref, selT_ref, *rest):
+    param_refs, (out_ref, x_scr, q_scr, agg_scr) = rest[:-4], rest[-4:]
     l = pl.program_id(0)
     f32 = jnp.float32
 
@@ -233,15 +263,26 @@ def _kernel(H, d, cdt, chunk,
     sel = sel_ref[...].astype(f32)
     selT = selT_ref[...].astype(f32)
     x = x_scr[...]
+    nr = nrows_ref[0, 0]
+    Wp, Kp, A = rt_ref.shape[1], rpl_ref.shape[1], x.shape[0]
 
-    x = _sublayer(x, keys_ref[0].astype(f32), rt_ref[...].astype(f32),
-                  mt_ref[...], P["t"], sel, selT, H, d, cdt,
-                  per_query=True, chunk=chunk)
-    x = _sublayer(x, plk_ref[...].astype(f32), rpl_ref[...].astype(f32),
-                  mpl_ref[...], P["pl"], sel, selT, H, d, cdt,
-                  per_query=True, chunk=x.shape[0])
-    x = _sublayer(x, x, raa_ref[...].astype(f32), maa_ref[...], P["aa"],
-                  sel, selT, H, d, cdt, per_query=False, chunk=chunk)
+    common = dict(sel=sel, selT=selT, H=H, d=d, cdt=cdt,
+                  n_rows=nr, q_scr=q_scr, agg_scr=agg_scr)
+    c_t, c_pl, c_aa = chunk
+    x = _sublayer(x, None,
+                  lambda c0: keys_ref[0, pl.ds(c0, c_t)],
+                  lambda c0: rt_ref[pl.ds(c0, c_t)],
+                  lambda c0: mt_ref[pl.ds(c0, c_t)],
+                  Wp, P["t"], chunk=c_t, **common)
+    x = _sublayer(x, None,
+                  lambda c0: plk_ref[pl.ds(c0, c_pl)],
+                  lambda c0: rpl_ref[pl.ds(c0, c_pl)],
+                  lambda c0: mpl_ref[pl.ds(c0, c_pl)],
+                  Kp, P["pl"], chunk=c_pl, **common)
+    x = _sublayer(x, x, None,
+                  lambda c0: raa_ref[pl.ds(c0, c_aa)],
+                  lambda c0: maa_ref[pl.ds(c0, c_aa)],
+                  A, P["aa"], chunk=c_aa, **common)
 
     x_scr[...] = x
     out_ref[...] = x[None]
@@ -250,7 +291,7 @@ def _kernel(H, d, cdt, chunk,
 def motion_column_kernel(packed, x0, key_stack, r_t, t_mask, pl_keys, r_pl,
                          pl_mask, r_aa, aa_mask, num_heads: int,
                          head_dim: int, compute_dtype=None, chunk: int = 64,
-                         interpret=None):
+                         interpret=None, n_rows=None):
     """Run the full L-layer trunk column in one kernel.
 
     x0 [A, D]; key_stack [L, A, W, D]; r_t [A, W, D]; t_mask [A, W] bool;
@@ -258,6 +299,11 @@ def motion_column_kernel(packed, x0, key_stack, r_t, t_mask, pl_keys, r_pl,
     aa_mask [A, A]. W and K are padded to multiples of 8 here; A and D
     must already be multiples of 8 / 128. Returns new_cols [L, A, D] f32
     (row l = the layer-l output, the value cached for temporal keys).
+
+    n_rows (optional traced int32 scalar): occupancy bound — per-query work
+    runs only for query chunks below it. Rows >= n_rows must have all keys
+    masked (they get the exact zero-aggregate output either way); see
+    _sublayer. None = compute all A rows.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -266,11 +312,24 @@ def motion_column_kernel(packed, x0, key_stack, r_t, t_mask, pl_keys, r_pl,
     Wp, Kp = _round_up(W, 8), _round_up(K, 8)
     # _sublayer slices fixed-size query chunks; shrink until A divides
     # evenly (A=16 test configs, A=40 parity configs, flagship A=128)
-    chunk = min(chunk, A)
-    while A % chunk:
-        chunk //= 2
+    # per-sublayer query-chunk sizes: the chunk fori_loop body is the
+    # scoped-VMEM unit (its [chunk*K, D] f32 intermediates must fit the
+    # ~16 MB budget), so cap chunk*K at 2048 rows per sublayer; each chunk
+    # must divide A and also sets the occupancy-skip resolution
+    def _fit(k_keys):
+        c = min(chunk, A)
+        while A % c:
+            c //= 2
+        while c > 8 and c * k_keys > 2048:
+            c //= 2
+        while A % c:
+            c //= 2
+        return max(c, 1)
+    chunks = (_fit(Wp), _fit(Kp), _fit(A))
     cdt = compute_dtype or jnp.float32
     f32 = jnp.float32
+    nr = jnp.full((1, 1), A, jnp.int32) if n_rows is None else \
+        jnp.asarray(n_rows, jnp.int32).reshape(1, 1)
 
     padW = lambda a: jnp.pad(a, ((0, 0), (0, Wp - W)) + ((0, 0),) * (a.ndim - 2))
     padWl = lambda a: jnp.pad(
@@ -287,29 +346,32 @@ def motion_column_kernel(packed, x0, key_stack, r_t, t_mask, pl_keys, r_pl,
     maa = aa_mask.astype(f32)
 
     sel = jnp.asarray(head_selector(D, num_heads, head_dim))
-    data = [x0.astype(f32), keys, r_t_p, mt, plk, rpl, mpl, raa, maa,
+    data = [nr, x0.astype(f32), keys, r_t_p, mt, plk, rpl, mpl, raa, maa,
             sel, sel.T]
     params = _flatten_params(packed)
 
     const = lambda a: pl.BlockSpec(a.shape, lambda l, n=a.ndim: (0,) * n)
     data_specs = [
-        const(data[0]),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        const(data[1]),
         pl.BlockSpec((1, A, Wp, D), lambda l: (l, 0, 0, 0)),
-        *[const(a) for a in data[2:]],
+        *[const(a) for a in data[3:]],
     ]
     # per-layer param blocks: index the leading (layer) axis by the grid
     param_specs = [pl.BlockSpec((1,) + p.shape[1:],
                                 lambda l: (l,) + (0,) * (p.ndim - 1))
                    for p in params]
 
-    kern = functools.partial(_kernel, num_heads, head_dim, cdt, chunk)
+    kern = functools.partial(_kernel, num_heads, head_dim, cdt, chunks)
     out = pl.pallas_call(
         kern,
         grid=(L,),
         in_specs=data_specs + param_specs,
         out_specs=pl.BlockSpec((1, A, D), lambda l: (l, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((L, A, D), f32),
-        scratch_shapes=[pltpu.VMEM((A, D), f32)],
+        scratch_shapes=[pltpu.VMEM((A, D), f32),
+                        pltpu.VMEM((A, num_heads * head_dim), f32),
+                        pltpu.VMEM((A, num_heads * head_dim), f32)],
         interpret=interpret,
     )(*data, *params)
     return out

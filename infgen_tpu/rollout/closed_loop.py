@@ -389,9 +389,17 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         pl_keys = x_pt[idx5]
 
         x_c = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
+        # occupancy bound for the column kernel: 1 + highest active slot
+        # index. Insertions fill the lowest free slot first (argmax(free)),
+        # so rows past the bound are inactive with all key masks false — the
+        # kernel skips their per-query compute with identical outputs.
+        n_rows = jnp.where(carry.slot_active.any(),
+                           A - jnp.argmax(carry.slot_active[::-1]),
+                           0).astype(jnp.int32)
         new_cols, out = apply_dec(params, AgentDecoder.motion_column,
                                   x_c, key_stack, t_r_raw, k_valid,
-                                  a2a_r_raw, a2a_mask, pl_keys, pl_r_raw, val5)
+                                  a2a_r_raw, a2a_mask, pl_keys, pl_r_raw,
+                                  val5, n_rows)
         cache = jax.vmap(
             lambda cch, ncol: jax.lax.dynamic_update_index_in_dim(
                 cch, ncol, c, 1)

@@ -191,3 +191,33 @@ def test_rollout_refine_kernel_ab(setup):
     assert np.array_equal(a["pred_state"], b["pred_state"])
     assert np.array_equal(a["next_token_idx"], b["next_token_idx"])
     np.testing.assert_allclose(a["pred_traj"], b["pred_traj"], atol=1e-4)
+
+
+def test_rollout_column_kernel_ab(setup):
+    """use_column_kernel=True (whole-trunk-column Mosaic kernel with the
+    dynamic occupancy skip; interpret on CPU) makes IDENTICAL token/state
+    decisions to the XLA motion_column at fp32 and matches trajectories to
+    float round-off — including while insertion grows the active slot count
+    (the kernel's n_rows bound moves between steps)."""
+    cfg, scenario, inputs, _ = setup
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    mt = MotionTokenizer()
+    map_vocab = load_map_vocab()
+    cfg3 = cfg.replace(num_seed_layers=3, num_agent_layers=3)
+    model = InfGenModel(cfg3, attr.grid, attr.grid_size, attr.angle_size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        jax.random.PRNGKey(2), deterministic=True)
+    outs = {}
+    for flag in (False, True):
+        ro = make_rollout_fn(model, cfg3.replace(use_column_kernel=flag),
+                             attr, mt, map_vocab, jit=True, force_insert=True)
+        outs[flag] = jax.device_get(
+            ro(variables["params"], scenario, inputs, jax.random.PRNGKey(7)))
+    a, b = outs[False], outs[True]
+    assert np.array_equal(a["slot_active"], b["slot_active"])
+    assert np.array_equal(a["pred_state"], b["pred_state"])
+    assert np.array_equal(a["next_token_idx"], b["next_token_idx"])
+    np.testing.assert_allclose(a["pred_traj"], b["pred_traj"], atol=1e-4)
