@@ -60,9 +60,6 @@ class RolloutCarry(NamedTuple):
     slot_active: jnp.ndarray  # [A] bool
     type_: jnp.ndarray        # [A] int32
     shape: jnp.ndarray        # [A, 3]
-    token_emb: jnp.ndarray    # [A, Ti, D]
-    type_emb: jnp.ndarray     # [A, Ti, D]
-    shape_emb: jnp.ndarray    # [A, Ti, D]
     raw_feat: jnp.ndarray     # [A, Ti, D]
     cache: jnp.ndarray        # [L, A, Ti, D]
     pred_traj: jnp.ndarray    # [A, R, 2] 10 Hz
@@ -78,26 +75,6 @@ def _fuse(dec, tables, token_emb, motion, head_vec, type_t, shape_t, state, grid
     return dec.fuse_features(token_emb, motion, head_vec, type_t, shape_t,
                              state, grid_emb)
 
-
-def _agent_row_features(dec, tables, pos, head, state, token, grid, type_,
-                        shape, zero_after=None):
-    """Fused features for full rows [*, Ti, D] from raw carry arrays."""
-    motion, head_vec = E.build_motion_vectors(pos, head, state)
-    if zero_after is not None:
-        Ti = pos.shape[-2]
-        colmask = jnp.arange(Ti) >= zero_after
-        motion = jnp.where(colmask[None, :, None], 0.0, motion)
-        head_vec = jnp.where(colmask[None, :, None], 0.0, head_vec)
-    is_invalid = state == INVALID_STATE
-    type_t = jnp.where(is_invalid, SEED_TYPE, type_[..., None])
-    shape_t = jnp.where(is_invalid[..., None], INVALID_SHAPE_VALUE,
-                        shape[..., None, :])
-    t_idx = map_token_index(token, dec.cfg.token_size)
-    token_emb = tables["token_tables"][jnp.clip(type_, 0, 2)[..., None], t_idx]
-    token_emb = jnp.where((token == -1)[..., None], tables["no_token"], token_emb)
-    token_emb = jnp.where((token == -2)[..., None], tables["bos_token"], token_emb)
-    return _fuse(dec, tables, token_emb, motion, head_vec, type_t, shape_t,
-                 state, grid)
 
 
 def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
