@@ -76,7 +76,6 @@ def _fuse(dec, tables, token_emb, motion, head_vec, type_t, shape_t, state, grid
                              state, grid_emb)
 
 
-
 def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                     num_recurrent_steps: int = None, jit: bool = True,
                     force_insert: bool = False, debug: bool = False):
@@ -219,13 +218,6 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         shape_t = jnp.where((state == INVALID_STATE)[..., None],
                             INVALID_SHAPE_VALUE, shape[:, None, :])
 
-        def embed_cats(params, type_t, shape_t):
-            def fn(mdl):
-                d = mdl.agent_decoder
-                return d.type_a_emb(type_t), d.shape_emb(shape_t)
-            return model.apply({"params": params}, method=fn)
-
-        type_emb, shape_emb = embed_cats(params, type_t, shape_t)
         t_idx = map_token_index(token, cfg.token_size)
         token_emb = tables["token_tables"][jnp.clip(type_, 0, 2)[:, None], t_idx]
 
@@ -244,7 +236,6 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             pos=pos, head=head, state=state, token=token, grid=grid,
             valid=valid, interact=interact, temporal=temporal,
             slot_active=slot_active, type_=type_, shape=shape,
-            token_emb=token_emb, type_emb=type_emb, shape_emb=shape_emb,
             raw_feat=raw_feat, cache=jnp.zeros((L, A, Ti, D), raw_feat.dtype),
             pred_traj=jnp.zeros((A, R, 2)), pred_head=jnp.zeros((A, R)),
             pred_state=jnp.zeros((A, R)), n_inserted=jnp.zeros((), jnp.int32),
@@ -747,16 +738,6 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         row_valid = colr > c
         row_interact = colr >= c
         row_temporal = jnp.ones((Ti_,), bool)
-        row_token_emb = jnp.where((colr == c)[:, None], tables["bos_token"],
-                                  tables["no_token"])
-        row_type_t = jnp.where(colr >= c, type_idx, SEED_TYPE)
-        row_shape_t = jnp.where((colr >= c)[:, None], shape_pred[None],
-                                INVALID_SHAPE_VALUE)
-
-        def cats(mdl):
-            d = mdl.agent_decoder
-            return d.type_a_emb(row_type_t), d.shape_emb(row_shape_t)
-        row_type_emb, row_shape_emb = model.apply({"params": params}, method=cats)
 
         carry = carry._replace(
             pos=row_set(carry.pos, row_pos),
@@ -770,9 +751,6 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             slot_active=scal_set(carry.slot_active, True),
             type_=scal_set(carry.type_, type_idx),
             shape=row_set(carry.shape, shape_pred),
-            token_emb=row_set(carry.token_emb, row_token_emb),
-            type_emb=row_set(carry.type_emb, row_type_emb),
-            shape_emb=row_set(carry.shape_emb, row_shape_emb),
         )
 
         # pred placeholders for the elapsed segment (:1965-1968, pre-refine)
@@ -1013,11 +991,6 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                                        INVALID_SHAPE_VALUE, carry.shape))
             return te, se
         te_new, se_new = model.apply({"params": params}, method=cats)
-        carry = carry._replace(
-            token_emb=upd(carry.token_emb, tok_emb_new),
-            type_emb=upd(carry.type_emb, te_new),
-            shape_emb=upd(carry.shape_emb, se_new),
-        )
 
         # 4. refresh fused features at c+1 (:2264-2287, incremental)
         pos_pair = jax.lax.dynamic_slice_in_dim(carry.pos, c, 2, 1)
