@@ -106,7 +106,7 @@ def _scenario(cfg, A=14):
                           cfg.max_map_tokens)
 
 
-def _run_pair(cfg, force_insert):
+def _run_pair(cfg, force_insert, debug=False):
     """Run the repo scan rollout and the reference python-loop rollout with
     the same weights; return (repo_out, ref_out, n_real_agents)."""
     scenario = _scenario(cfg)
@@ -125,7 +125,7 @@ def _run_pair(cfg, force_insert):
     params = variables["params"]
 
     rollout = make_rollout_fn(model, cfg, attr, mt, map_vocab,
-                              force_insert=force_insert)
+                              force_insert=force_insert, debug=debug)
     repo_out = rollout(params, scenario, inputs, jax.random.PRNGKey(3))
     repo_out = jax.tree.map(np.asarray, repo_out)
 
