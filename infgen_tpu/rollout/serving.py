@@ -79,7 +79,8 @@ class RolloutServer:
                  map_buckets: Optional[Sequence[int]] = None,
                  agent_headroom: int = 8,
                  num_recurrent_steps: Optional[int] = None,
-                 force_insert: bool = False):
+                 force_insert: bool = False,
+                 mesh=None, param_shardings=None):
         self.cfg = cfg
         self.attr = attr
         self.motion_tok = motion_tok
@@ -92,6 +93,11 @@ class RolloutServer:
         self.agent_headroom = agent_headroom
         self.num_recurrent_steps = num_recurrent_steps
         self.force_insert = force_insert
+        # multi-device serving: batches shard over the mesh's `data` axis and
+        # params keep the caller's (e.g. tensor-parallel) shardings — the same
+        # dp x tp layout as training, but per capacity bucket
+        self.mesh = mesh
+        self.param_shardings = param_shardings
         self._fns: Dict[Tuple[int, int], Tuple] = {}
 
     def bucket_for(self, scenario: Scenario) -> Tuple[int, int]:
@@ -146,9 +152,21 @@ class RolloutServer:
         key = (A, P, B)
         if key not in self._fns:
             fn, build = self._get(A, P)
-            self._fns[key] = (
-                jax.jit(jax.vmap(fn, in_axes=(None, 0, 0, 0))),
-                jax.jit(jax.vmap(build)))
+            vfn = jax.vmap(fn, in_axes=(None, 0, 0, 0))
+            if self.mesh is not None and \
+                    B % int(self.mesh.shape.get("data", 1)) == 0:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as PSpec
+                dshard = NamedSharding(self.mesh, PSpec("data"))
+                pshard = self.param_shardings
+                if pshard is None:
+                    pshard = NamedSharding(self.mesh, PSpec())
+                jfn = jax.jit(vfn, in_shardings=(pshard, dshard, dshard,
+                                                 dshard))
+            else:
+                # batch not divisible by the data axis: run replicated
+                jfn = jax.jit(vfn)
+            self._fns[key] = (jfn, jax.jit(jax.vmap(build)))
         return self._fns[key]
 
     def rollout_batch(self, params, scenarios: Sequence[Scenario], rngs,
