@@ -227,11 +227,22 @@ def main():
     # and params in a smaller agent-capacity program. Active agent-steps/s is
     # the work metric, so the comparison is honest even though a smaller
     # bucket caps insertion capacity sooner (documented serving tradeoff).
+    # Default ON: the bucket is auto-picked the way RolloutServer.bucket_for
+    # does it (smallest capacity >= live agents + headroom); override with
+    # INFGEN_BENCH_BUCKET=<A>, disable with INFGEN_BENCH_BUCKET=0.
     value_b = bucket = None
-    if os.environ.get("INFGEN_BENCH_BUCKET"):
+    if os.environ.get("INFGEN_BENCH_BUCKET", "auto") != "0":
         try:
             from infgen_tpu.rollout.serving import repad_scenario
-            bucket = int(os.environ["INFGEN_BENCH_BUCKET"])
+            env_b = os.environ.get("INFGEN_BENCH_BUCKET", "auto")
+            if env_b == "auto":
+                n_live = max(
+                    int(np.asarray(s.agents.slot_mask).sum()) for s in scens)
+                headroom = 8
+                bucket = next((b for b in (32, 48, 64, 96, 128)
+                               if b >= n_live + headroom), cfg.max_agents)
+            else:
+                bucket = int(env_b)
             cfg_b = cfg.replace(max_agents=bucket)
             scens_b = [repad_scenario(s, bucket, cfg.max_map_tokens)
                        for s in scens]

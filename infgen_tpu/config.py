@@ -181,6 +181,13 @@ class Config:
     # zero-agg neighbor updates + both heads) in one pallas_call; requires
     # use_head_token and use_grid_token (the flagship setting)
     use_refine_kernel: bool = False
+    # per-step cap on the per-insert refine map-token candidate set: the
+    # NC nearest tokens to ego within pl2seed_radius + pl2sa_radius (every
+    # insert lands <= pl2seed_radius from ego and its refine keys within
+    # pl2sa_radius of the insert). Bitwise-identical to the full-P topk
+    # whenever <= NC masked tokens are in that radius (candidates keep
+    # original index order, so tie-breaks match). 0 disables the cap.
+    refine_map_candidates: int = 512
     # rematerialize attention activations in the training backward. Measured
     # on v5e (bf16, scripts/bench_train.py): OFF is 21% faster at batch<=2
     # per chip (0.223 vs 0.283 s/step) but batch 8 then needs 35 GB HBM

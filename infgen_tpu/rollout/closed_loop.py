@@ -381,6 +381,17 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
 
     def _insertion(params, carry, c, x_pt, pt_pos, pt_orient, pt_mask,
                    tables, av, seed_vec, ptkv0, packs):
+        """Insertion for one step.
+
+        The iteration loop carries ONLY column-c slices plus a bounded
+        record buffer (`recs`, <= insert_limit rows) — never the full
+        RolloutCarry. Under a vmapped rollout the `while_loop` batching rule
+        selects the whole loop carry against the stop predicate on EVERY
+        iteration; with the full carry inside (the [L, A, Ti, D] cache alone
+        is ~12 MB) that select dominated trained-model throughput. Accepted
+        insertions are scattered into the full carry once per step by
+        `_apply_inserts`.
+        """
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
         ego_pos = jax.lax.dynamic_index_in_dim(carry.pos[av], c, 0, False)
@@ -423,19 +434,40 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             k0_s = jnp.stack([kv[0] for kv in ptkv0])
             v0_s = jnp.stack([kv[1] for kv in ptkv0])
 
-        # agent-row key snapshots (zero-aggregate chains independent of the
-        # seed query), once per step; only the inserted row changes. The
-        # full kernel computes the chains in-kernel from the raw column.
-        if not use_sknf:
-            ag_keys0 = apply_dec(params, AgentDecoder.seed_key_chain,
-                                 jax.lax.dynamic_index_in_dim(
-                                     carry.raw_feat, c, 1, False))
+        # per-step refine map-candidate subset: every insert lands within
+        # pl2seed_radius of ego and its refine map keys within pl2sa_radius
+        # of the insert, so all per-insert topk candidates lie within
+        # (pl2seed + pl2sa) of ego. Pre-gathering the NC nearest once per
+        # step shrinks the per-insert topk + gather from P to NC rows.
+        # Candidates are re-sorted to ORIGINAL index order so the per-insert
+        # topk tie-breaks exactly like the full-P computation whenever the
+        # subset covers every in-radius token (bitwise-identical refine).
+        P_ = pt_pos.shape[0]
+        NC = min(cfg.refine_map_candidates or P_, P_)
+        if NC < P_:
+            cand_idx, cand_ok = topk_neighbors(
+                ego_pos[None], pt_pos, NC,
+                cfg.pl2seed_radius + cfg.pl2sa_radius, key_mask=pt_mask)
+            order = jnp.argsort(jnp.where(cand_ok[0], cand_idx[0], P_))
+            cand_idx = cand_idx[0][order]
+            cand_ok = cand_ok[0][order]
+            cand = dict(pos=pt_pos[cand_idx], orient=pt_orient[cand_idx],
+                        x=x_pt[cand_idx], ok=cand_ok)
+        else:
+            cand = dict(pos=pt_pos, orient=pt_orient, x=x_pt, ok=pt_mask)
 
         # step-start occupancy / agent geometry (patched per insert)
         pos_c0 = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
         head_c0 = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
         grid_c0 = jax.lax.dynamic_index_in_dim(carry.grid, c, 1, False)
         inter_c0 = jax.lax.dynamic_index_in_dim(carry.interact, c, 1, False)
+        rawf_c0 = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
+
+        # agent-row key snapshots (zero-aggregate chains independent of the
+        # seed query), once per step; only the inserted row changes. The
+        # full kernel computes the chains in-kernel from the raw column.
+        if not use_sknf:
+            ag_keys0 = apply_dec(params, AgentDecoder.seed_key_chain, rawf_c0)
         occ_vec0 = ((jax.nn.one_hot(jnp.where(grid_c0 >= 0, grid_c0, 0), G)
                      * ((grid_c0 >= 0) & carry.slot_active)[:, None]).sum(0)
                     > 0)
@@ -449,8 +481,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         ], axis=-1)
         r_sa_emb0 = apply_dec(params, AgentDecoder.embed_a2sa_r, a2sa_r_raw0)
         if use_sknf:
-            fast0 = dict(agent_col=jax.lax.dynamic_index_in_dim(
-                             carry.raw_feat, c, 1, False),
+            fast0 = dict(agent_col=rawf_c0,
                          r_sa=r_sa_emb0,
                          a2sa_mask=km0 & (d_a0 <= cfg.pl2seed_radius),
                          occ_vec=occ_vec0)
@@ -471,7 +502,7 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                     SF.occ_value(dp[f"occ2sa_{i}"], occ_emb0, sf_dt)
                     for i in range(L_s)])
 
-        def eval_seed(carry, fast, p_used):
+        def eval_seed(slim, fast, p_used):
             """One seed-head evaluation: the reference's per-iteration seed
             stack + heads + grid-cell sampling (agent_decoder.py:1833-1905).
 
@@ -487,8 +518,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             between trained-model rollouts being insertion-bound or not.
             p_used: budget already consumed; returns n_draws (>= 1) in the
             proposal."""
-            rng, r1 = jax.random.split(carry.rng)
-            carry = carry._replace(rng=rng)
+            rng, r1 = jax.random.split(slim["rng"])
+            slim = dict(slim, rng=rng)
             occ_vec = fast["occ_vec"]
 
             if use_sknf:
@@ -577,11 +608,11 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 occupied = jnp.bool_(False)
                 n_draws = jnp.int32(1)
             # stop when the head declines or no free slot remains
-            stop = ~want_enter | carry.slot_active.all()
-            return carry, dict(enter_prob=enter_prob, type_idx=type_idx,
-                               shape=shape_pred, g_idx=g_idx,
-                               next_pos=next_pos, occupied=occupied,
-                               n_draws=n_draws, stop=stop)
+            stop = ~want_enter | slim["active"].all()
+            return slim, dict(enter_prob=enter_prob, type_idx=type_idx,
+                              shape=shape_pred, g_idx=g_idx,
+                              next_pos=next_pos, occupied=occupied,
+                              n_draws=n_draws, stop=stop)
 
         def iter_body(loop):
             """Insert the current (free-cell) proposal, then evaluate the
@@ -591,9 +622,9 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             insert/refine passes (the reference breaks before refine the
             same way, agent_decoder.py:1914), and occupied-cell rejections
             are absorbed by eval_seed's cheap in-place retries."""
-            carry, prop, n_new, probs, p, fast = loop
+            slim, prop, n_new, probs, p, fast, recs = loop
 
-            free = ~carry.slot_active
+            free = ~slim["active"]
             slot = jnp.argmax(free)
             # masked writes (belt and braces: under a vmapped rollout the
             # while_loop batching rule applies the body to already-stopped
@@ -601,11 +632,10 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             # discarded computation well-defined)
             do_insert = ~prop["occupied"] & ~prop["stop"]
 
-            carry, new_feat, ins_pos, ins_head = _do_insert(
-                params, carry, c, slot, do_insert, prop["next_pos"],
-                prop["g_idx"], prop["type_idx"], prop["shape"], ego_pos,
-                ego_head, x_pt, pt_pos, pt_orient, pt_mask, tables, av,
-                packs)
+            slim, recs, new_feat, ins_pos, ins_head = _do_insert(
+                params, slim, recs, n_new, c, slot, do_insert,
+                prop["next_pos"], prop["g_idx"], prop["type_idx"],
+                prop["shape"], ego_pos, ego_head, cand, tables, packs)
 
             # ---- patch the inserted row into the fast-eval state ----
             rel = ins_pos - ego_pos
@@ -662,8 +692,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             probs = probs.at[n_new + 1].set(
                 jnp.where(do_insert, prop["enter_prob"], probs[n_new + 1]))
             n_new = n_new + do_insert.astype(jnp.int32)
-            carry, prop = eval_seed(carry, fast, p)
-            return carry, prop, n_new, probs, p + prop["n_draws"], fast
+            slim, prop = eval_seed(slim, fast, p)
+            return slim, prop, n_new, probs, p + prop["n_draws"], fast, recs
 
         # while_loop (not fori): exits as soon as the seed head says stop,
         # the budget runs out, or a proposal's retries exhausted the budget
@@ -684,13 +714,29 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
         # keeps burning budget on a proposal it would never insert while
         # this loop exits early (no insertion either way).
         probs0 = jnp.zeros((cfg.insert_limit + 1,))
-        carry, prop0 = eval_seed(carry, fast0, jnp.int32(0))
-        carry, _, n_new, probs, _, _ = jax.lax.while_loop(
+        K_rec = max(cfg.insert_limit, 1)
+        recs0 = dict(
+            ok=jnp.zeros((K_rec,), bool),
+            slot=jnp.zeros((K_rec,), jnp.int32),
+            pos_pre=jnp.zeros((K_rec, 2)),
+            pos=jnp.zeros((K_rec, 2)),
+            head=jnp.zeros((K_rec,)),
+            g=jnp.zeros((K_rec,), jnp.int32),
+            type=jnp.zeros((K_rec,), jnp.int32),
+            shape=jnp.zeros((K_rec, 3)),
+            feat=jnp.zeros((K_rec, D), carry.raw_feat.dtype),
+        )
+        slim0 = dict(rng=carry.rng, active=carry.slot_active,
+                     pos_c=pos_c0, head_c=head_c0, inter_c=inter_c0,
+                     rawf_c=rawf_c0)
+        slim, prop0 = eval_seed(slim0, fast0, jnp.int32(0))
+        slim, _, n_new, probs, _, _, recs = jax.lax.while_loop(
             lambda loop: (loop[4] <= cfg.insert_limit) & ~loop[1]["stop"]
             & ~loop[1]["occupied"],
             iter_body,
-            (carry, prop0, jnp.int32(0), probs0, prop0["n_draws"], fast0))
-        carry = carry._replace(n_inserted=carry.n_inserted + n_new)
+            (slim, prop0, jnp.int32(0), probs0, prop0["n_draws"], fast0,
+             recs0))
+        carry = _apply_inserts(carry, slim, recs, n_new, c, ego_head)
         return carry, n_new, probs
 
     def _decode_pos(g_idx, ego_pos, ego_head):
@@ -710,82 +756,39 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                 tables["grid_table"][G // 2][None])[0]
         return model.apply({"params": params}, method=fn)
 
-    def _do_insert(params, carry, c, slot, do_insert, next_pos, g_idx,
-                   type_idx, shape_pred, ego_pos, ego_head, x_pt, pt_pos,
-                   pt_orient, pt_mask, tables, av, packs=None):
-        """Slot activation with every write masked by `do_insert` (no cond)."""
+    def _do_insert(params, slim, recs, n_new, c, slot, do_insert, next_pos,
+                   g_idx, type_idx, shape_pred, ego_pos, ego_head, cand,
+                   tables, packs=None):
+        """Refine + record one insertion against the slim column-c loop
+        state; every write is masked by `do_insert` (no cond). Full-carry
+        row writes (agent_decoder.py:1920-1999) are deferred to
+        `_apply_inserts` after the loop."""
         from infgen_tpu.model.agent_decoder import AgentDecoder
 
-        Ti_ = carry.pos.shape[1]
-        colr = jnp.arange(Ti_)
+        msk = lambda new, old: jnp.where(do_insert, new, old)
 
-        def row_set(arr, new_row):
-            cur = arr[slot]
-            return arr.at[slot].set(jnp.where(
-                jnp.reshape(do_insert, (1,) * cur.ndim), new_row, cur))
-
-        def scal_set(arr, new_val):
-            return arr.at[slot].set(jnp.where(do_insert, new_val, arr[slot]))
-
-        # row templates (agent_decoder.py:1930-1958)
-        row_pos = jnp.where((colr == c)[:, None], next_pos[None], 0.0)
-        row_head = jnp.where(colr == c, ego_head, 0.0)
-        row_state = jnp.where(colr == c, ENTER_STATE, INVALID_STATE).astype(
-            carry.state.dtype)
-        row_grid = jnp.where(colr == c, g_idx, -1).astype(carry.grid.dtype)
-        # -2 at the enter column = bos sentinel (token emb -> bos row)
-        row_token = jnp.where(colr == c, -2, -1).astype(carry.token.dtype)
-        row_valid = colr > c
-        row_interact = colr >= c
-        row_temporal = jnp.ones((Ti_,), bool)
-
-        carry = carry._replace(
-            pos=row_set(carry.pos, row_pos),
-            head=row_set(carry.head, row_head),
-            state=row_set(carry.state, row_state),
-            token=row_set(carry.token, row_token),
-            grid=row_set(carry.grid, row_grid),
-            valid=row_set(carry.valid, row_valid),
-            interact=row_set(carry.interact, row_interact),
-            temporal=row_set(carry.temporal, row_temporal),
-            slot_active=scal_set(carry.slot_active, True),
-            type_=scal_set(carry.type_, type_idx),
-            shape=row_set(carry.shape, shape_pred),
-        )
-
-        # pred placeholders for the elapsed segment (:1965-1968, pre-refine)
-        t_step = c - 1                 # rollout step index (c = 1 + t)
-        seg = jnp.clip((t_step - 1) * SHIFT, 0, R - SHIFT)
-        segmask = ((jnp.arange(R) >= seg) & (jnp.arange(R) < seg + SHIFT)
-                   & (t_step > 0) & do_insert)
-        carry = carry._replace(
-            pred_traj=carry.pred_traj.at[slot].set(
-                jnp.where(segmask[:, None], next_pos[None], carry.pred_traj[slot])),
-            pred_head=carry.pred_head.at[slot].set(
-                jnp.where(segmask, ego_head, carry.pred_head[slot])),
-            pred_state=carry.pred_state.at[slot].set(
-                jnp.where(segmask, ENTER_STATE, carry.pred_state[slot])),
-        )
+        # column-slice activation at the pre-refine pose (:1930-1958)
+        active = slim["active"].at[slot].set(msk(True, slim["active"][slot]))
+        pos_c = slim["pos_c"].at[slot].set(msk(next_pos, slim["pos_c"][slot]))
+        head_c = slim["head_c"].at[slot].set(
+            msk(ego_head, slim["head_c"][slot]))
+        inter_c = slim["inter_c"].at[slot].set(
+            msk(True, slim["inter_c"][slot]))
+        onehot = jnp.arange(A) == slot
 
         # ---- heading/offset refine (agent_decoder.py:2001-2074) on the
         # inserted agent's SUBGRAPH: only its row is read downstream and rows
         # outside its neighbor set cannot influence it, so the pass runs on
         # [1 + K] gathered rows instead of all A (refine_column_sub)
-        pos_c = jax.lax.dynamic_index_in_dim(carry.pos, c, 1, False)
-        head_c = jax.lax.dynamic_index_in_dim(carry.head, c, 1, False)
-        inter_c = jax.lax.dynamic_index_in_dim(carry.interact, c, 1, False)
-        onehot = jnp.arange(A) == slot
 
         # pre-refine feature at the enter column (ego heading as dummy)
-        col_feat = _insert_col_feat(params, tables,
-                                    jax.lax.dynamic_index_in_dim(
-                                        carry.pos[slot], c, 0, False),
-                                    ego_head, g_idx, type_idx, shape_pred)
+        col_feat = _insert_col_feat(params, tables, next_pos, ego_head,
+                                    g_idx, type_idx, shape_pred)
 
         slot_pos = pos_c[slot]
         slot_head = head_c[slot]
         slot_hv = jnp.stack([jnp.cos(slot_head), jnp.sin(slot_head)])
-        key_ok = inter_c & carry.slot_active & ~onehot
+        key_ok = inter_c & active & ~onehot
         idx_a, val_a = topk_neighbors(slot_pos[None], pos_c, REFINE_A2SA_K,
                                       cfg.a2sa_radius, key_mask=key_ok)
         idx_a, val_a = idx_a[0], val_a[0]                 # [Ka]
@@ -795,18 +798,19 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             angle_between_2d_vectors(slot_hv[None], rel),
             wrap_angle(head_c[idx_a] - slot_head),
         ], axis=-1)
-        idx_p, val_p = topk_neighbors(slot_pos[None], pt_pos, REFINE_PL2SA_K,
-                                      cfg.pl2sa_radius, key_mask=pt_mask)
+        idx_p, val_p = topk_neighbors(slot_pos[None], cand["pos"],
+                                      REFINE_PL2SA_K, cfg.pl2sa_radius,
+                                      key_mask=cand["ok"])
         idx_p, val_p = idx_p[0], val_p[0]                 # [Km]
-        rel_p = pt_pos[idx_p] - slot_pos[None]
+        rel_p = cand["pos"][idx_p] - slot_pos[None]
         r_pp = jnp.stack([
             jnp.linalg.norm(rel_p, axis=-1),
             angle_between_2d_vectors(slot_hv[None], rel_p),
-            wrap_angle(pt_orient[idx_p] - slot_head),
+            wrap_angle(cand["orient"][idx_p] - slot_head),
         ], axis=-1)
 
-        x_col = jax.lax.dynamic_index_in_dim(carry.raw_feat, c, 1, False)
-        x_sub = jnp.concatenate([col_feat[None], x_col[idx_a]], axis=0)
+        x_sub = jnp.concatenate([col_feat[None], slim["rawf_c"][idx_a]],
+                                axis=0)
         if use_refk:
             # one fused Mosaic kernel for the whole refine pass
             # (ops/refine_kernel); relation embeddings computed here, the
@@ -825,14 +829,14 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             ma_f = jnp.broadcast_to(ma_row[:, None],
                                     (R_, D_)).astype(jnp.float32)
             out2 = RFK.refine_kernel(
-                packs["refine"], x_pad.astype(jnp.float32), x_pt[idx_p],
+                packs["refine"], x_pad.astype(jnp.float32), cand["x"][idx_p],
                 r_pl_e, mpl_f, raa_pad, ma_f, skn_sel,
                 cfg.num_heads, cfg.head_dim, interpret=skn_interp)
             heads = dict(head_logits=out2[0, :attr.angle_size],
                          offset_xy=jnp.tanh(out2[1, :2]) * 2.0)
         else:
             refined_slot = apply_dec(params, AgentDecoder.refine_column_sub,
-                                     x_sub, x_pt[idx_p], r_pp, val_p, r_aa,
+                                     x_sub, cand["x"][idx_p], r_pp, val_p, r_aa,
                                      val_a)
             heads = apply_dec(params, AgentDecoder.refine_heads, refined_slot)
             heads = {k: v.astype(jnp.float32) for k, v in heads.items()}
@@ -844,24 +848,88 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             new_head = heads["head_theta"] * jnp.pi + ego_head
         new_pos = next_pos + (heads["offset_xy"] if cfg.use_grid_token else 0.0)
 
-        colmask = (colr == c) & do_insert
-        pos2 = carry.pos.at[slot].set(
-            jnp.where(colmask[:, None], new_pos[None], carry.pos[slot]))
-        head2 = carry.head.at[slot].set(
-            jnp.where(colmask, new_head, carry.head[slot]))
-        carry = carry._replace(pos=pos2, head=head2)
+        # refined pose into the slim column state (next iterations' refine
+        # neighbors see it, matching the reference's in-place row update)
+        pos_c = pos_c.at[slot].set(msk(new_pos, pos_c[slot]))
+        head_c = head_c.at[slot].set(msk(new_head, head_c[slot]))
 
-        # final feature with the refined pose, written at the enter column
-        # only (later columns are refreshed by each motion step; earlier
-        # columns are masked by the temporal bos clamp)
+        # final feature with the refined pose at the enter column only
+        # (later columns are refreshed by each motion step; earlier columns
+        # are masked by the temporal bos clamp)
         final_feat = _insert_col_feat(params, tables, new_pos, new_head,
                                       g_idx, type_idx, shape_pred)
-        cur = jax.lax.dynamic_index_in_dim(carry.raw_feat[slot], c, 0, False)
-        new_row_c = jnp.where(do_insert, final_feat, cur)
-        carry = carry._replace(raw_feat=carry.raw_feat.at[slot].set(
-            jax.lax.dynamic_update_index_in_dim(carry.raw_feat[slot],
-                                                new_row_c, c, 0)))
-        return carry, new_row_c, new_pos, new_head
+        new_row_c = jnp.where(do_insert, final_feat, slim["rawf_c"][slot])
+        rawf_c = slim["rawf_c"].at[slot].set(new_row_c)
+        slim = dict(slim, active=active, pos_c=pos_c, head_c=head_c,
+                    inter_c=inter_c, rawf_c=rawf_c)
+
+        # record the accepted insertion for the post-loop scatter (record
+        # index n_new: each accept bumps n_new, so indices never collide)
+        rec = lambda a, v: a.at[n_new].set(
+            jnp.where(do_insert, jnp.asarray(v, a.dtype), a[n_new]))
+        recs = dict(
+            ok=rec(recs["ok"], True),
+            slot=rec(recs["slot"], slot),
+            pos_pre=rec(recs["pos_pre"], next_pos),
+            pos=rec(recs["pos"], new_pos),
+            head=rec(recs["head"], new_head),
+            g=rec(recs["g"], g_idx),
+            type=rec(recs["type"], type_idx),
+            shape=rec(recs["shape"], shape_pred),
+            feat=rec(recs["feat"], final_feat),
+        )
+        return slim, recs, new_row_c, new_pos, new_head
+
+    def _apply_inserts(carry, slim, recs, n_new, c, ego_head):
+        """Scatter the <= insert_limit accepted insertions of one step into
+        the full rollout carry in one vectorized pass (reference row writes
+        agent_decoder.py:1920-1999 + pred placeholders :1965-1968). Records
+        with ok=False scatter to row index A and are dropped."""
+        K = recs["ok"].shape[0]
+        Ti_ = carry.pos.shape[1]
+        colr = jnp.arange(Ti_)
+        s = jnp.where(recs["ok"], recs["slot"], A)
+        drop = dict(mode="drop")
+        carry = carry._replace(
+            pos=carry.pos.at[s, c].set(recs["pos"], **drop),
+            head=carry.head.at[s, c].set(recs["head"], **drop),
+            state=carry.state.at[s, c].set(ENTER_STATE, **drop),
+            # -2 at the enter column = bos sentinel (token emb -> bos row);
+            # the rest of the row is already -1 (inactive-slot init)
+            token=carry.token.at[s, c].set(-2, **drop),
+            grid=carry.grid.at[s, c].set(recs["g"], **drop),
+            valid=carry.valid.at[s].set(
+                jnp.broadcast_to(colr > c, (K, Ti_)), **drop),
+            interact=carry.interact.at[s].set(
+                jnp.broadcast_to(colr >= c, (K, Ti_)), **drop),
+            temporal=carry.temporal.at[s].set(
+                jnp.ones((K, Ti_), bool), **drop),
+            slot_active=slim["active"],
+            type_=carry.type_.at[s].set(recs["type"], **drop),
+            shape=carry.shape.at[s].set(recs["shape"], **drop),
+            raw_feat=carry.raw_feat.at[s, c].set(
+                recs["feat"].astype(carry.raw_feat.dtype), **drop),
+            n_inserted=carry.n_inserted + n_new,
+            rng=slim["rng"],
+        )
+
+        # pred placeholders for the elapsed segment (:1965-1968): pre-refine
+        # pose, ego heading, ENTER state
+        t_step = c - 1                 # rollout step index (c = 1 + t)
+        seg = jnp.clip((t_step - 1) * SHIFT, 0, R - SHIFT)
+        s_pred = jnp.where(recs["ok"] & (t_step > 0), recs["slot"], A)
+        cols = (seg + jnp.arange(SHIFT))[None]             # [1, SHIFT]
+        carry = carry._replace(
+            pred_traj=carry.pred_traj.at[s_pred[:, None], cols].set(
+                jnp.broadcast_to(recs["pos_pre"][:, None], (K, SHIFT, 2)),
+                **drop),
+            pred_head=carry.pred_head.at[s_pred[:, None], cols].set(
+                jnp.broadcast_to(ego_head, (K, SHIFT)), **drop),
+            pred_state=carry.pred_state.at[s_pred[:, None], cols].set(
+                jnp.full((K, SHIFT), ENTER_STATE, carry.pred_state.dtype),
+                **drop),
+        )
+        return carry
 
     def _decode_heading(idx):
         return (idx * cfg.angle_interval - 180.0) / 360.0 * (2 * jnp.pi)

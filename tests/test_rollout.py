@@ -165,6 +165,36 @@ def test_rollout_seed_kernel_full_ab(setup):
     np.testing.assert_allclose(a["pred_traj"], b["pred_traj"], atol=1e-4)
 
 
+def test_rollout_refine_candidates_ab(setup):
+    """refine_map_candidates < P (the per-step ego-centred candidate subset
+    for the per-insert refine topk) is BITWISE-identical to the full-P
+    computation when the subset covers every token within
+    pl2seed_radius + pl2sa_radius of ego (62 of 128 here; NC=96 leaves
+    slack for ego drift)."""
+    cfg, scenario, inputs, _ = setup
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    mt = MotionTokenizer()
+    map_vocab = load_map_vocab()
+    model = InfGenModel(cfg, attr.grid, attr.grid_size, attr.angle_size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        jax.random.PRNGKey(2), deterministic=True)
+    outs = {}
+    for nc in (0, 96):
+        ro = make_rollout_fn(model, cfg.replace(refine_map_candidates=nc),
+                             attr, mt, map_vocab, jit=True, force_insert=True)
+        outs[nc] = jax.device_get(
+            ro(variables["params"], scenario, inputs, jax.random.PRNGKey(7)))
+    a, b = outs[0], outs[96]
+    assert np.array_equal(a["slot_active"], b["slot_active"])
+    assert np.array_equal(a["pred_state"], b["pred_state"])
+    assert np.array_equal(a["next_token_idx"], b["next_token_idx"])
+    assert np.array_equal(a["pred_traj"], b["pred_traj"])
+    assert np.array_equal(a["head_a"], b["head_a"])
+
+
 def test_rollout_refine_kernel_ab(setup):
     """use_refine_kernel=True (fused per-insert refine; interpret on CPU)
     makes IDENTICAL insertion decisions and refined poses to the module
