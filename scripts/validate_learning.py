@@ -65,6 +65,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--scenarios", type=int, default=8)
+    ap.add_argument("--val_every", type=int, default=0,
+                    help="periodic val interval (0 = endpoints only); "
+                         "records a loss/metametric curve and the best "
+                         "step, mirroring train/loop.py's periodic val + "
+                         "best-k selection")
     ap.add_argument("--config", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "configs",
         "ours_long_term.yaml"))
@@ -109,6 +114,7 @@ def main():
 
     batches = [trainer.shard_batch(stack_scenarios([scens[i], scens[(i + 1) % B]]))
                for i in range(0, B, 2)]
+    curve = [dict(step=0, loss=None, **before)]
     for step in range(args.steps):
         # host-side raw key: an eager split per step would dispatch a tiny
         # device program over the remote relay (see train/loop.py)
@@ -117,13 +123,22 @@ def main():
                                          sub)
         if step % 100 == 0:
             print(f"step {step}: loss={float(logs['loss']):.3f}", flush=True)
+        if args.val_every and (step + 1) % args.val_every == 0 \
+                and step + 1 < args.steps:
+            pv = jax.device_get(state.params)
+            v = score(trainer, cfg, pv, scens, inputs_b, log_dists,
+                      f"val@{step + 1}", rollout)
+            curve.append(dict(step=step + 1, loss=float(logs["loss"]), **v))
     params1 = jax.device_get(state.params)
 
     after = score(trainer, cfg, params1, scens, inputs_b, log_dists,
                   f"trained({args.steps})", rollout)
+    curve.append(dict(step=args.steps, loss=float(logs["loss"]), **after))
+    best = max(curve, key=lambda r: r["metametric"])
 
     res = dict(steps=args.steps, compute_dtype=cfg.compute_dtype,
-               before=before, after=after)
+               before=before, after=after, curve=curve,
+               best=dict(step=best["step"], metametric=best["metametric"]))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "LEARNING_DYNAMICS.json")
     with open(out, "w") as f:
