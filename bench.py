@@ -187,17 +187,33 @@ def main():
     # single-scenario full-rollout latency: the UNBATCHED jit program (the
     # actual serving path — the vmapped program at B=1 carries batching
     # overhead and measured ~10% slower)
-    single = jax.jit(rollout)
-    sc0 = jax.tree.map(lambda x: x[0], batch)
-    in0 = jax.tree.map(lambda x: x[0], inputs)
-    out = single(params, sc0, in0, jax.random.PRNGKey(0))
-    float(out["pred_traj"].sum())
-    t0 = time.perf_counter()
-    outs1 = [single(params, sc0, in0, jax.random.PRNGKey(100 + i))
-             for i in range(8)]
-    for o in outs1:
-        float(o["pred_traj"].sum())
-    dt_one = (time.perf_counter() - t0) / 8
+    def time_single(fn):
+        sc0 = jax.tree.map(lambda x: x[0], batch)
+        in0 = jax.tree.map(lambda x: x[0], inputs)
+        out = fn(params, sc0, in0, jax.random.PRNGKey(0))
+        float(out["pred_traj"].sum())
+        t0 = time.perf_counter()
+        outs1 = [fn(params, sc0, in0, jax.random.PRNGKey(100 + i))
+                 for i in range(8)]
+        for o in outs1:
+            float(o["pred_traj"].sum())
+        return (time.perf_counter() - t0) / 8
+
+    dt_one = time_single(jax.jit(rollout))
+
+    # latency-critical serving preset (configs/ours_long_term_latency.yaml:
+    # fused seed-eval-full / refine / trunk-column kernels) on the same
+    # params — identical decisions (kernel A/B tests), lower dispatch count
+    dt_one_lat = None
+    if not os.environ.get("INFGEN_BENCH_NO_LATENCY_CFG"):
+        try:
+            cfg_l = cfg.replace(use_seed_kernel_full=True,
+                                use_refine_kernel=True,
+                                use_column_kernel=True)
+            dt_one_lat = time_single(jax.jit(make_rollout_fn(
+                model, cfg_l, attr, mt, map_vocab, jit=False)))
+        except Exception as e:
+            print(f"# latency-preset bench skipped: {e}", file=sys.stderr)
 
     # trained-model throughput (VERDICT r2 item 7): briefly train on
     # synthetic scenarios so the seed head makes realistic insertion
@@ -276,6 +292,8 @@ def main():
         "agents_final_trained": n_agents_t,
         "trained_steps": train_steps,
         "single_rollout_ms": round(dt_one * 1e3, 1),
+        "single_rollout_ms_latency_cfg": None if dt_one_lat is None
+        else round(dt_one_lat * 1e3, 1),
         "value_bucketed": None if value_b is None else round(value_b, 1),
         "bucket_agents": bucket,
         "flops_per_batched_rollout": flops_per_batch,
