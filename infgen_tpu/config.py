@@ -188,6 +188,15 @@ class Config:
     # whenever <= NC masked tokens are in that radius (candidates keep
     # original index order, so tie-breaks match). 0 disables the cap.
     refine_map_candidates: int = 512
+    # run the insertion loop as a fixed-trip fori_loop (exactly insert_limit
+    # iterations, all writes masked by a running flag) instead of the
+    # early-exit while_loop. Bitwise-identical outputs (each while iteration
+    # consumes >= 1 budget unit, so insert_limit trips is a strict upper
+    # bound and frozen lanes select their old state, rng included). Under a
+    # vmapped rollout the while_loop already runs to the max trip count
+    # across lanes; the fixed form gives XLA a static trip count to pipeline
+    # across at the cost of always paying the worst case per lane.
+    insertion_fixed_trip: bool = False
     # rematerialize attention activations in the training backward. Measured
     # on v5e (bf16, scripts/bench_train.py): OFF is 21% faster at batch<=2
     # per chip (0.223 vs 0.283 s/step) but batch 8 then needs 35 GB HBM

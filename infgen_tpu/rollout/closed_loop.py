@@ -730,12 +730,30 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
                      pos_c=pos_c0, head_c=head_c0, inter_c=inter_c0,
                      rawf_c=rawf_c0)
         slim, prop0 = eval_seed(slim0, fast0, jnp.int32(0))
-        slim, _, n_new, probs, _, _, recs = jax.lax.while_loop(
-            lambda loop: (loop[4] <= cfg.insert_limit) & ~loop[1]["stop"]
-            & ~loop[1]["occupied"],
-            iter_body,
-            (slim, prop0, jnp.int32(0), probs0, prop0["n_draws"], fast0,
-             recs0))
+        loop0 = (slim, prop0, jnp.int32(0), probs0, prop0["n_draws"], fast0,
+                 recs0)
+
+        def _running(loop):
+            return ((loop[4] <= cfg.insert_limit) & ~loop[1]["stop"]
+                    & ~loop[1]["occupied"])
+
+        if cfg.insertion_fixed_trip:
+            # fixed-trip form (cfg.insertion_fixed_trip docstring): exactly
+            # insert_limit iterations, stopped state frozen by a full-state
+            # select — the same select the while_loop batching rule performs
+            # per lane under vmap, so results are bitwise-identical
+            # (tests/test_rollout.py::test_rollout_fixed_trip_ab)
+            def fixed_body(_, loop):
+                run = _running(loop)
+                new = iter_body(loop)
+                return jax.tree.map(
+                    lambda x, y: jnp.where(run, x, y), new, loop)
+
+            out_loop = jax.lax.fori_loop(0, cfg.insert_limit, fixed_body,
+                                         loop0)
+        else:
+            out_loop = jax.lax.while_loop(_running, iter_body, loop0)
+        slim, _, n_new, probs, _, _, recs = out_loop
         carry = _apply_inserts(carry, slim, recs, n_new, c, ego_head)
         return carry, n_new, probs
 

@@ -1,0 +1,317 @@
+#!/usr/bin/env python
+"""Named perf experiments on the current backend, one JSON line each.
+
+bench.py is the driver-facing headline; this is the engineer-facing sweep
+tool behind BENCH/README numbers (batch-size sweep, insertion loop form,
+refine-candidate cap, trained-params throughput, bucketed sparse serving).
+Reports dt and active agent-steps separately so numerator effects (how many
+agents the model keeps active) are never conflated with denominator effects
+(how fast the program runs).
+
+Usage:
+  python scripts/bench_sweep.py default_b8 trained_b8 trained_b8_fixed \
+      [--reps 10] [--train-steps 400]
+  python scripts/bench_sweep.py --list
+
+Trained parameters (400 synthetic steps, same recipe as bench.py) are cached
+in /tmp so repeated sweeps skip retraining; delete the cache after changing
+training code.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infgen_tpu.utils.jax_setup import enable_compile_cache
+
+enable_compile_cache()
+
+from infgen_tpu.config import load_config
+from infgen_tpu.data.features import build_model_inputs
+from infgen_tpu.data.synthetic import make_synthetic_scenario
+from infgen_tpu.model.infgen import InfGenModel
+from infgen_tpu.rollout.closed_loop import make_rollout_fn
+from infgen_tpu.tokenizers.attr_tokenizer import AttrTokenizer
+from infgen_tpu.tokenizers.motion_tokenizer import MotionTokenizer
+from infgen_tpu.tokenizers.vocab import load_map_vocab
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TRAIN_CACHE = "/tmp/infgen_bench_trained_params.npz"
+
+
+def _truncate_map(scen, cap):
+    """Zero out real map tokens beyond `cap` (mask + fields), host-side."""
+    mp = scen.map
+    keep = np.arange(np.asarray(mp.mask).shape[0]) < cap
+    f = {k: np.where(
+        keep.reshape((-1,) + (1,) * (np.asarray(getattr(mp, k)).ndim - 1)),
+        np.asarray(getattr(mp, k)), 0)
+        for k in ("position", "orientation", "token_idx", "pt_type",
+                  "pt_side", "pl_type", "light_type")}
+    f["chain_id"] = np.where(keep, np.asarray(mp.chain_id), -1)
+    f["chain_pos"] = np.where(keep, np.asarray(mp.chain_pos), -1)
+    f["mask"] = np.asarray(mp.mask) & keep
+    return scen._replace(map=type(mp)(**f))
+
+
+def flat_save(path, params):
+    flat = {"/".join(str(k.key) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    np.savez(path, **flat)
+
+
+def flat_load(path, like):
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
+    vals = [jnp.asarray(data["/".join(str(k.key) for k in p)])
+            for p, _ in leaves]
+    return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+class Bench:
+    def __init__(self, reps, train_steps):
+        self.reps = reps
+        self.train_steps = train_steps
+        self.cfg = load_config(os.path.join(ROOT, "configs",
+                                            "ours_long_term.yaml"))
+        self.attr = AttrTokenizer(self.cfg.grid_range, self.cfg.grid_interval,
+                                  self.cfg.pl2seed_radius,
+                                  self.cfg.angle_interval)
+        self.mt = MotionTokenizer()
+        self.map_vocab = load_map_vocab()
+        self._params = None
+        self._trained = None
+
+    def scenes(self, B, num_agents):
+        cfg = self.cfg
+        from infgen_tpu.train.train_step import stack_scenarios
+        scens = [make_synthetic_scenario(cfg, seed=s, num_agents=num_agents)
+                 for s in range(B)]
+        return scens, stack_scenarios(scens)
+
+    def inputs_for(self, cfg, batch, B):
+        rngs = jax.random.split(jax.random.PRNGKey(0), B)
+        build = jax.jit(jax.vmap(
+            lambda s, r: build_model_inputs(cfg, self.mt, self.attr, s, r)))
+        return jax.block_until_ready(build(batch, rngs)), rngs
+
+    def params(self):
+        if self._params is None:
+            cfg = self.cfg
+            scens, batch = self.scenes(1, 64)
+            inputs, _ = self.inputs_for(cfg, batch, 1)
+            model = InfGenModel(cfg, self.attr.grid, self.attr.grid_size,
+                                self.attr.angle_size)
+            one_in = jax.tree.map(lambda x: x[0], inputs)
+            one_sc = jax.tree.map(lambda x: x[0], batch)
+            variables = jax.jit(model.init,
+                                static_argnames=("deterministic",))(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                one_in, one_sc.map, self.mt.vocab,
+                self.map_vocab["traj_src"], jax.random.PRNGKey(2),
+                deterministic=True)
+            self._params = variables["params"]
+        return self._params
+
+    def trained_params(self):
+        if self._trained is None:
+            base = self.params()
+            if os.path.exists(TRAIN_CACHE):
+                self._trained = flat_load(TRAIN_CACHE, base)
+            else:
+                from infgen_tpu.train.train_step import (Trainer,
+                                                         stack_scenarios)
+                scens, _ = self.scenes(8, 64)
+                trainer = Trainer(self.cfg)
+                state = trainer.replicate_state(
+                    trainer.init_state(jax.random.PRNGKey(0), scens[0]))
+                tb = [trainer.shard_batch(
+                    stack_scenarios([scens[i], scens[i + 1]]))
+                    for i in range(0, 6, 2)]
+                for step in range(self.train_steps):
+                    state, _ = trainer.train_step(
+                        state, tb[step % len(tb)],
+                        np.array([1, step], np.uint32))
+                self._trained = jax.device_get(state.params)
+                flat_save(TRAIN_CACHE, self._trained)
+        return self._trained
+
+    def measure(self, name, cfg=None, B=8, num_agents=64, trained=False,
+                bucket=None, map_cap=None, force_insert=False, reps=None):
+        """Compile + run one experiment; print one JSON line.
+
+        bucket: agent-capacity bucket A, or an (A, P) tuple for a map bucket
+        too. map_cap truncates each scenario's real map tokens to the cap
+        (host-side) so a P < 1024 bucket is legal — the synthetic generator
+        saturates the map (824 real tokens), unlike real sparse scenes.
+        """
+        cfg = cfg or self.cfg
+        reps = reps or self.reps
+        scens, batch = self.scenes(B, num_agents)
+        if map_cap is not None:
+            scens = [_truncate_map(s, map_cap) for s in scens]
+        if bucket is not None:
+            from infgen_tpu.rollout.serving import repad_scenario
+            A_b, P_b = bucket if isinstance(bucket, tuple) \
+                else (bucket, cfg.max_map_tokens)
+            cfg = cfg.replace(max_agents=A_b, max_map_tokens=P_b)
+            scens = [repad_scenario(s, A_b, P_b) for s in scens]
+        if map_cap is not None or bucket is not None:
+            from infgen_tpu.train.train_step import stack_scenarios
+            batch = stack_scenarios(scens)
+        inputs, rngs = self.inputs_for(cfg, batch, B)
+        model = InfGenModel(cfg, self.attr.grid, self.attr.grid_size,
+                            self.attr.angle_size)
+        fn = make_rollout_fn(model, cfg, self.attr, self.mt, self.map_vocab,
+                             jit=False, force_insert=force_insert)
+        batched = jax.jit(jax.vmap(fn, in_axes=(None, 0, 0, 0)))
+        # params ON DEVICE before timing: host-resident params re-upload the
+        # whole tree over the relay on EVERY call (bench.py r3's trained
+        # number did exactly that — noise-dominated and ~4x pessimistic)
+        params = jax.device_put(
+            self.trained_params() if trained else self.params())
+        jax.block_until_ready(params)
+        Hs = cfg.num_historical_steps
+
+        t0 = time.perf_counter()
+        out = batched(params, batch, inputs,
+                      jax.random.split(jax.random.PRNGKey(0), B))
+        float(out["pred_traj"].sum())
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = [batched(params, batch, inputs,
+                        jax.random.split(jax.random.PRNGKey(10 + i), B))
+                for i in range(reps)]
+        for o in outs:
+            float(o["pred_traj"].sum())
+        dt = (time.perf_counter() - t0) / reps
+        per = [float((np.asarray(o["pred_state"])[:, :, Hs:] != 0).sum())
+               for o in outs]
+        asteps = float(np.mean(per))
+        R = np.asarray(outs[-1]["pred_state"]).shape[-1] - Hs
+        rec = {
+            "exp": name, "B": B, "A": int(cfg.max_agents),
+            "num_agents0": num_agents,
+            "agent_steps_per_sec": round(asteps / dt, 1),
+            "dt_ms": round(dt * 1e3, 2),
+            "asteps_per_batch": round(asteps, 0),
+            "mean_active": round(asteps / (R * B), 1),
+            "agents_final": int(np.asarray(outs[-1]["slot_active"]).sum()),
+            "reps": reps, "warm_s": round(t_compile, 1),
+            "trained": trained,
+            "fixed_trip": bool(cfg.insertion_fixed_trip),
+            "nc": int(cfg.refine_map_candidates),
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
+
+def experiments(b):
+    cfg = b.cfg
+    fixed = cfg.replace(insertion_fixed_trip=True)
+    return {
+        # batch-size sweep, default (untrained) params, while vs fixed trip
+        "default_b8": lambda: b.measure("default_b8", B=8),
+        "default_b16": lambda: b.measure("default_b16", B=16),
+        "default_b32": lambda: b.measure("default_b32", B=32, reps=4),
+        "fixed_b8": lambda: b.measure("fixed_b8", cfg=fixed, B=8),
+        "fixed_b16": lambda: b.measure("fixed_b16", cfg=fixed, B=16),
+        "fixed_b32": lambda: b.measure("fixed_b32", cfg=fixed, B=32, reps=4),
+        # trained params (realistic insertion load)
+        "trained_b8": lambda: b.measure("trained_b8", B=8, trained=True),
+        "trained_b16": lambda: b.measure("trained_b16", B=16, trained=True),
+        "trained_b32": lambda: b.measure("trained_b32", B=32, trained=True,
+                                         reps=4),
+        "trained_b8_fixed": lambda: b.measure("trained_b8_fixed", cfg=fixed,
+                                              B=8, trained=True),
+        "trained_b16_fixed": lambda: b.measure("trained_b16_fixed", cfg=fixed,
+                                               B=16, trained=True),
+        "trained_b32_fixed": lambda: b.measure("trained_b32_fixed", cfg=fixed,
+                                               B=32, trained=True, reps=4),
+        # refine-candidate cap A/B under trained insertion load
+        "trained_b8_nc0": lambda: b.measure(
+            "trained_b8_nc0", cfg=cfg.replace(refine_map_candidates=0), B=8,
+            trained=True),
+        # latency-preset kernels under trained vmap-8 load (insertion-heavy:
+        # do the fused insert-path kernels pay for themselves at B=8?)
+        "trained_b8_refk": lambda: b.measure(
+            "trained_b8_refk", cfg=cfg.replace(use_refine_kernel=True), B=8,
+            trained=True),
+        "trained_b8_sknf": lambda: b.measure(
+            "trained_b8_sknf", cfg=cfg.replace(use_seed_kernel_full=True),
+            B=8, trained=True),
+        "trained_b8_latency_cfg": lambda: b.measure(
+            "trained_b8_latency_cfg",
+            cfg=cfg.replace(use_seed_kernel_full=True, use_refine_kernel=True,
+                            use_column_kernel=True), B=8, trained=True),
+        # forced-insert dt bound at full capacity
+        "forced_b8": lambda: b.measure("forced_b8", B=8, force_insert=True),
+        # sparse scenes (16 live agents): full-capacity program vs bucketed
+        "sparse_full": lambda: b.measure("sparse_full", B=8, num_agents=16,
+                                         trained=True),
+        "sparse_bucket32": lambda: b.measure("sparse_bucket32", B=8,
+                                             num_agents=16, trained=True,
+                                             bucket=32),
+        "sparse_bucket48": lambda: b.measure("sparse_bucket48", B=8,
+                                             num_agents=16, trained=True,
+                                             bucket=48),
+        "sparse_full_untrained": lambda: b.measure(
+            "sparse_full_untrained", B=8, num_agents=16),
+        "sparse_bucket32_untrained": lambda: b.measure(
+            "sparse_bucket32_untrained", B=8, num_agents=16, bucket=32),
+        # motion-only sparse serving: insertion off isolates the pure
+        # occupancy effect (equal numerators both sides — with insertion on,
+        # the model fills whatever capacity it gets, so value comparisons
+        # conflate capacity with speed)
+        "sparse_motion_full": lambda: b.measure(
+            "sparse_motion_full", cfg=cfg.replace(disable_insertion=True),
+            B=8, num_agents=16, trained=True),
+        "sparse_motion_bucket32": lambda: b.measure(
+            "sparse_motion_bucket32", cfg=cfg.replace(disable_insertion=True),
+            B=8, num_agents=16, trained=True, bucket=32),
+        "motion_full_64": lambda: b.measure(
+            "motion_full_64", cfg=cfg.replace(disable_insertion=True),
+            B=8, num_agents=64, trained=True),
+        # sparse map + sparse agents: real low-occupancy scenes have few map
+        # tokens too; (A=32, P=256) vs the full program on the SAME
+        # truncated-map scenes, motion-only for equal numerators
+        "sparsemap_motion_full": lambda: b.measure(
+            "sparsemap_motion_full", cfg=cfg.replace(disable_insertion=True),
+            B=8, num_agents=16, trained=True, map_cap=256),
+        "sparsemap_motion_bucket": lambda: b.measure(
+            "sparsemap_motion_bucket",
+            cfg=cfg.replace(disable_insertion=True), B=8, num_agents=16,
+            trained=True, map_cap=256, bucket=(32, 256)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("exps", nargs="*")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--train-steps", type=int, default=400)
+    args = ap.parse_args()
+    b = Bench(args.reps, args.train_steps)
+    exps = experiments(b)
+    if args.list or not args.exps:
+        print("\n".join(exps))
+        return
+    for e in args.exps:
+        if e not in exps:
+            print(f"unknown experiment {e}", file=sys.stderr)
+            continue
+        exps[e]()
+
+
+if __name__ == "__main__":
+    main()

@@ -195,6 +195,77 @@ def test_rollout_refine_candidates_ab(setup):
     assert np.array_equal(a["head_a"], b["head_a"])
 
 
+def test_rollout_fixed_trip_ab(setup):
+    """insertion_fixed_trip=True (fixed-trip fori_loop insertion, all writes
+    masked by the running flag) is BITWISE-identical to the early-exit
+    while_loop — in the default mode (loop exits on the seed head's stop,
+    exercising frozen-lane selects incl. the rng key) and in forced-insert
+    mode (maximal trips, budget exhaustion path)."""
+    cfg, scenario, inputs, _ = setup
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    mt = MotionTokenizer()
+    map_vocab = load_map_vocab()
+    model = InfGenModel(cfg, attr.grid, attr.grid_size, attr.angle_size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        jax.random.PRNGKey(2), deterministic=True)
+    for forced in (False, True):
+        outs = {}
+        for flag in (False, True):
+            ro = make_rollout_fn(model,
+                                 cfg.replace(insertion_fixed_trip=flag),
+                                 attr, mt, map_vocab, jit=True,
+                                 force_insert=forced)
+            outs[flag] = jax.device_get(
+                ro(variables["params"], scenario, inputs,
+                   jax.random.PRNGKey(7)))
+        a, b = outs[False], outs[True]
+        assert np.array_equal(a["slot_active"], b["slot_active"]), forced
+        assert np.array_equal(a["pred_state"], b["pred_state"]), forced
+        assert np.array_equal(a["next_token_idx"], b["next_token_idx"]), forced
+        assert np.array_equal(a["pred_traj"], b["pred_traj"]), forced
+        assert np.array_equal(a["per_step_inserted"],
+                              b["per_step_inserted"]), forced
+
+
+def test_rollout_fixed_trip_vmapped_ab(setup):
+    """The fixed-trip form must also match under vmap, where the while_loop
+    batching rule (run-while-any, select stopped lanes) is replaced by the
+    fori_loop's unconditional trips — two scenarios with different insertion
+    activity keep bitwise-equal outputs lane by lane."""
+    cfg, scenario, inputs, _ = setup
+    attr = AttrTokenizer(cfg.grid_range, cfg.grid_interval, cfg.pl2seed_radius,
+                         cfg.angle_interval)
+    mt = MotionTokenizer()
+    map_vocab = load_map_vocab()
+    model = InfGenModel(cfg, attr.grid, attr.grid_size, attr.angle_size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, scenario.map, mt.vocab, map_vocab["traj_src"],
+        jax.random.PRNGKey(2), deterministic=True)
+    from infgen_tpu.train.train_step import stack_scenarios
+    scen2 = make_synthetic_scenario(cfg, seed=5, num_agents=4)
+    batch = stack_scenarios([scenario, scen2])
+    rngs = jax.random.split(jax.random.PRNGKey(0), 2)
+    inputs2 = jax.jit(jax.vmap(
+        lambda s, r: build_model_inputs(cfg, mt, attr, s, r)))(batch, rngs)
+    outs = {}
+    for flag in (False, True):
+        ro = make_rollout_fn(model, cfg.replace(insertion_fixed_trip=flag),
+                             attr, mt, map_vocab, jit=False)
+        vro = jax.jit(jax.vmap(ro, in_axes=(None, 0, 0, 0)))
+        outs[flag] = jax.device_get(
+            vro(variables["params"], batch, inputs2,
+                jax.random.split(jax.random.PRNGKey(7), 2)))
+    a, b = outs[False], outs[True]
+    assert np.array_equal(a["slot_active"], b["slot_active"])
+    assert np.array_equal(a["pred_state"], b["pred_state"])
+    assert np.array_equal(a["next_token_idx"], b["next_token_idx"])
+    assert np.array_equal(a["pred_traj"], b["pred_traj"])
+
+
 def test_rollout_refine_kernel_ab(setup):
     """use_refine_kernel=True (fused per-insert refine; interpret on CPU)
     makes IDENTICAL insertion decisions and refined poses to the module
