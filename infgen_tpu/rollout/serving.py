@@ -66,6 +66,38 @@ def repad_scenario(scenario: Scenario, max_agents: int,
     return Scenario(agents=agents, map=maps, scenario_id=scenario.scenario_id)
 
 
+def compact_scenario(scenario: Scenario) -> Tuple[Scenario, np.ndarray]:
+    """Pack live agent rows into a contiguous prefix (stable order).
+
+    Scenarios resumed from a prior rollout can have live rows scattered
+    across high slot indices (insertions fill the first FREE slot, exits
+    leave holes), which forces `bucket_for` — which must honor the highest
+    real row, not the count — into a large bucket. Compaction permutes the
+    agent axis so the N live rows occupy slots [0, N); the rollout is
+    permutation-equivariant over agent slots (dense masked attention, no
+    positional identity), verified by tests/test_serving.py.
+
+    Returns (compacted scenario, perm) with perm[i] = original row index of
+    new row i; map outputs back with `out[...inverse...]` or read new row i
+    as original agent perm[i].
+    """
+    ag = scenario.agents
+    mask = np.asarray(ag.slot_mask)
+    perm = np.concatenate([np.nonzero(mask)[0], np.nonzero(~mask)[0]])
+
+    def pg(x):
+        return np.asarray(x)[perm]
+
+    agents = AgentData(
+        valid=pg(ag.valid), position=pg(ag.position),
+        elevation=pg(ag.elevation), heading=pg(ag.heading),
+        velocity=pg(ag.velocity), shape=pg(ag.shape), type=pg(ag.type),
+        slot_mask=pg(ag.slot_mask), train_mask=pg(ag.train_mask),
+        av_index=np.asarray(
+            int(np.nonzero(perm == int(np.asarray(ag.av_index)))[0][0])))
+    return scenario._replace(agents=agents), perm
+
+
 class RolloutServer:
     """Dispatch scenarios to the smallest compiled rollout that fits them.
 
@@ -80,7 +112,8 @@ class RolloutServer:
                  agent_headroom: int = 8,
                  num_recurrent_steps: Optional[int] = None,
                  force_insert: bool = False,
-                 mesh=None, param_shardings=None):
+                 mesh=None, param_shardings=None,
+                 compact: bool = False):
         self.cfg = cfg
         self.attr = attr
         self.motion_tok = motion_tok
@@ -98,6 +131,11 @@ class RolloutServer:
         # dp x tp layout as training, but per capacity bucket
         self.mesh = mesh
         self.param_shardings = param_shardings
+        # compact live rows into a prefix before bucketing (compact_scenario):
+        # scenarios with scattered live slots then fit smaller buckets; each
+        # output dict gains "slot_perm" (new row i = original agent
+        # slot_perm[i], padded with -1 beyond the bucket)
+        self.compact = compact
         self._fns: Dict[Tuple[int, int], Tuple] = {}
 
     def bucket_for(self, scenario: Scenario) -> Tuple[int, int]:
@@ -142,11 +180,27 @@ class RolloutServer:
                 input_rng=None) -> Dict:
         """Run one scenario at its bucket capacity. Output arrays are shaped
         to the chosen bucket (out["pred_traj"].shape[0] == bucket A)."""
+        scenario, perm = self._maybe_compact(scenario)
         A, P = self.bucket_for(scenario)
         fn, build = self._get(A, P)
         scen = repad_scenario(scenario, A, P)
         inputs = build(scen, rng if input_rng is None else input_rng)
-        return fn(params, scen, inputs, rng)
+        out = fn(params, scen, inputs, rng)
+        if perm is not None:
+            out = dict(out, slot_perm=self._perm_out(perm, A))
+        return out
+
+    def _maybe_compact(self, scenario: Scenario):
+        if not self.compact:
+            return scenario, None
+        return compact_scenario(scenario)
+
+    @staticmethod
+    def _perm_out(perm: np.ndarray, A: int) -> np.ndarray:
+        out = np.full((A,), -1, np.int64)
+        n = min(A, perm.shape[0])
+        out[:n] = perm[:n]
+        return out
 
     def _get_batched(self, A: int, P: int, B: int):
         key = (A, P, B)
@@ -195,6 +249,11 @@ class RolloutServer:
 
         rngs = norm_keys(rngs)
         input_rngs = rngs if input_rngs is None else norm_keys(input_rngs)
+        perms = [None] * n
+        if self.compact:
+            pairs = [compact_scenario(s) for s in scenarios]
+            scenarios = [p[0] for p in pairs]
+            perms = [p[1] for p in pairs]
         groups: Dict[Tuple[int, int], list] = {}
         for i, s in enumerate(scenarios):
             groups.setdefault(self.bucket_for(s), []).append(i)
@@ -210,5 +269,8 @@ class RolloutServer:
             ir = jnp.stack([input_rngs[i] for i in pad])
             out = fn(params, batch, build(batch, ir), r)
             for j, i in enumerate(idxs):
-                results[i] = jax.tree.map(lambda x, j=j: x[j], out)
+                res = jax.tree.map(lambda x, j=j: x[j], out)
+                if perms[i] is not None:
+                    res = dict(res, slot_perm=self._perm_out(perms[i], A))
+                results[i] = res
         return results

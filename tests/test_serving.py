@@ -14,7 +14,8 @@ from infgen_tpu.config import Config
 from infgen_tpu.data.features import build_model_inputs
 from infgen_tpu.data.scenario import Scenario
 from infgen_tpu.data.synthetic import make_synthetic_scenario
-from infgen_tpu.rollout.serving import RolloutServer, repad_scenario
+from infgen_tpu.rollout.serving import (RolloutServer, compact_scenario,
+                                        repad_scenario)
 from infgen_tpu.train.train_step import Trainer
 
 TINY = dict(max_agents=16, max_map_tokens=128, num_agent_layers=2,
@@ -110,6 +111,67 @@ def test_batched_dispatch_matches_single():
         np.testing.assert_allclose(np.asarray(out["pred_traj"]),
                                    np.asarray(single["pred_traj"]),
                                    atol=1e-5)
+
+
+def _scatter_agents(scen, slots):
+    """Move the live agent rows (stable order) to the given slot indices."""
+    ag = scen.agents
+    A = np.asarray(ag.slot_mask).shape[0]
+    live = np.nonzero(np.asarray(ag.slot_mask))[0]
+    assert len(slots) == len(live)
+    perm = np.full((A,), -1, np.int64)        # new row <- old row
+    perm[np.asarray(slots)] = live
+    holes = np.setdiff1d(np.arange(A), np.asarray(slots))
+    perm[holes] = np.setdiff1d(np.arange(A), live)
+    fields = {f: np.asarray(getattr(ag, f))[perm]
+              for f in ("valid", "position", "elevation", "heading",
+                        "velocity", "shape", "type", "slot_mask",
+                        "train_mask")}
+    fields["av_index"] = np.asarray(
+        int(np.nonzero(perm == int(np.asarray(ag.av_index)))[0][0]))
+    return scen._replace(agents=type(ag)(**fields))
+
+
+def test_compaction_enables_small_bucket():
+    """compact=True packs scattered live rows into a prefix so bucket_for
+    can pick the small bucket, and the rollout — permutation-equivariant
+    over agent slots — reproduces the contiguous scenario's outputs exactly.
+    slot_perm maps bucket rows back to the caller's original slots."""
+    cfg, tr, scen, state = _setup()
+    # 6 live agents scattered monotonically across 16 slots: compaction
+    # recovers the original contiguous layout exactly
+    slots = [0, 3, 5, 9, 12, 15]
+    scattered = _scatter_agents(scen, slots)
+
+    comp, perm = compact_scenario(scattered)
+    np.testing.assert_array_equal(perm[:6], slots)
+    np.testing.assert_array_equal(np.asarray(comp.agents.position),
+                                  np.asarray(scen.agents.position))
+    assert int(np.asarray(comp.agents.av_index)) == \
+        int(np.asarray(scen.agents.av_index))
+
+    srv_plain = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                              agent_buckets=(8, 16), agent_headroom=2)
+    assert srv_plain.bucket_for(scattered)[0] == 16   # row 15 is real
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(8, 16), agent_headroom=2,
+                        compact=True)
+    rng = jax.random.PRNGKey(3)
+    out = srv.rollout(state.params, scattered, rng, input_rng=rng)
+    assert out["pred_traj"].shape[0] == 8             # compacted -> bucket 8
+    np.testing.assert_array_equal(out["slot_perm"][:6], slots)
+
+    ref = srv.rollout(state.params, scen, rng, input_rng=rng)
+    np.testing.assert_array_equal(np.asarray(out["next_token_idx"])[:6],
+                                  np.asarray(ref["next_token_idx"])[:6])
+    np.testing.assert_array_equal(np.asarray(out["pred_traj"])[:6],
+                                  np.asarray(ref["pred_traj"])[:6])
+
+    # batched path carries the per-scenario perm too
+    outs = srv.rollout_batch(state.params, [scattered, scen],
+                             list(jax.random.split(rng, 2)))
+    assert outs[0]["pred_traj"].shape[0] == 8
+    np.testing.assert_array_equal(outs[0]["slot_perm"][:6], slots)
 
 
 def test_capacity_invariant_rollout():
