@@ -11,8 +11,11 @@ rollouts (300 future 10 Hz steps = 60 token steps each), 128 padded agent
 slots — matching configs/ours_long_term.yaml:74 and BASELINE.md. A second
 number (`value_forced_insert`) runs with every insertion iteration forced to
 propose an agent (the reference's DEBUG mode, agent_decoder.py:1888-1889),
-bounding the trained-model cost — the default seed head is untrained and
-stops inserting early, which flatters throughput.
+bounding insertion cost. The freshly-initialized seed head saturates the 128
+slots on this workload (mean ~120 active), so the headline is measured at
+full occupancy; `value_trained` reruns the same compiled program with a
+briefly-trained model whose moderated insertion (~56 active/scene) shows the
+active-step cost of realistic occupancy.
 
 Baseline: the reference publishes no numbers (BASELINE.md). The reference IS
 measured in-container by scripts/bench_reference.py (unmodified, torch on
@@ -199,26 +202,31 @@ def main():
             float(o["pred_traj"].sum())
         return (time.perf_counter() - t0) / 8
 
-    dt_one = time_single(jax.jit(rollout))
+    dt_one_tp = time_single(jax.jit(rollout))
 
-    # latency-critical serving preset (configs/ours_long_term_latency.yaml:
-    # fused seed-eval-full / refine / trunk-column kernels) on the same
-    # params — identical decisions (kernel A/B tests), lower dispatch count
-    dt_one_lat = None
+    # single-scenario serving uses the latency preset (configs/
+    # ours_long_term_latency.yaml: fused seed-eval-full / refine /
+    # trunk-column kernels) on the same params — identical decisions to the
+    # throughput config (bitwise kernel A/B tests in tests/test_rollout.py),
+    # fewer dispatches. `single_rollout_ms` reports this serving path; the
+    # throughput-config program (what the vmap-8 headline runs at B=1) is
+    # `single_rollout_ms_throughput_cfg`.
+    dt_one = None
     if not os.environ.get("INFGEN_BENCH_NO_LATENCY_CFG"):
         try:
             cfg_l = cfg.replace(use_seed_kernel_full=True,
                                 use_refine_kernel=True,
                                 use_column_kernel=True)
-            dt_one_lat = time_single(jax.jit(make_rollout_fn(
+            dt_one = time_single(jax.jit(make_rollout_fn(
                 model, cfg_l, attr, mt, map_vocab, jit=False)))
         except Exception as e:
             print(f"# latency-preset bench skipped: {e}", file=sys.stderr)
+    if dt_one is None:
+        dt_one = dt_one_tp
 
     # trained-model throughput (VERDICT r2 item 7): briefly train on
-    # synthetic scenarios so the seed head makes realistic insertion
-    # decisions (untrained heads stop inserting early, which flatters the
-    # default number), then rerun the SAME compiled rollout
+    # synthetic scenarios so the seed head makes realistic (moderated)
+    # insertion decisions, then rerun the SAME compiled rollout
     value_t = n_agents_t = train_steps = None
     if os.environ.get("INFGEN_BENCH_TRAIN", "1") not in ("", "0"):
         try:
@@ -232,9 +240,13 @@ def main():
             for step in range(train_steps):
                 state, _ = trainer.train_step(
                     state, tb[step % len(tb)], np.array([1, step], np.uint32))
-            params_t = jax.device_get(state.params)
+            # keep the trained params ON DEVICE: device_get here made every
+            # timed call re-upload the whole tree over the relay, which both
+            # depressed the r2/r3 trained numbers ~4x and made them swing
+            # with relay load (74.8k / 63.7k / 45.0k across identical runs)
+            params_t = state.params
             n_agents_t, asteps_t, dt_t = _measure(batched, params_t, batch,
-                                                  inputs, B, Hs, n_rep=3)
+                                                  inputs, B, Hs, n_rep=6)
             value_t = asteps_t / dt_t
         except Exception as e:
             print(f"# trained-model bench skipped: {e}", file=sys.stderr)
@@ -273,10 +285,47 @@ def main():
             batched_b = jax.jit(jax.vmap(rollout_b, in_axes=(None, 0, 0, 0)))
             pb = params_t if value_t is not None else params
             _, asteps_b, dt_b = _measure(batched_b, pb, batch_b, inputs_b,
-                                         B, Hs, n_rep=3)
+                                         B, Hs, n_rep=6)
             value_b = asteps_b / dt_b
         except Exception as e:
             print(f"# bucketed bench skipped: {e}", file=sys.stderr)
+
+    # sparse-occupancy serving speedup: 16-live-agent scenes through the
+    # A=32 bucket vs the full A=128 program, motion-only so both sides do
+    # identical work (with insertion on, the model fills whatever capacity
+    # it gets, conflating capacity with speed). This is the case bucketed
+    # serving exists for — the same-scene auto-bucket above is nearly a
+    # no-op on the 64-agent headline workload, which genuinely needs the
+    # capacity (measured 2.2x on the v5e, scripts/bench_sweep.py
+    # sparse_motion_*).
+    sparse_speedup = None
+    if os.environ.get("INFGEN_BENCH_SPARSE", "1") not in ("", "0"):
+        try:
+            from infgen_tpu.rollout.serving import repad_scenario
+            cfg_m = cfg.replace(disable_insertion=True)
+            scens_s = [make_synthetic_scenario(cfg, seed=100 + s,
+                                               num_agents=16)
+                       for s in range(B)]
+            pb = params_t if value_t is not None else params
+            dts = {}
+            for A_s in (cfg.max_agents, 32):
+                cfg_s = cfg_m.replace(max_agents=A_s)
+                batch_s = stack_scenarios(
+                    [repad_scenario(s, A_s, cfg.max_map_tokens)
+                     for s in scens_s])
+                build_s = jax.jit(jax.vmap(
+                    lambda s, r: build_model_inputs(cfg_s, mt, attr, s, r)))
+                inputs_s = jax.block_until_ready(build_s(batch_s, rngs))
+                model_s = InfGenModel(cfg_s, attr.grid, attr.grid_size,
+                                      attr.angle_size)
+                batched_s = jax.jit(jax.vmap(
+                    make_rollout_fn(model_s, cfg_s, attr, mt, map_vocab,
+                                    jit=False), in_axes=(None, 0, 0, 0)))
+                _, _, dts[A_s] = _measure(batched_s, pb, batch_s, inputs_s,
+                                          B, Hs, n_rep=6)
+            sparse_speedup = dts[cfg.max_agents] / dts[32]
+        except Exception as e:
+            print(f"# sparse-serving bench skipped: {e}", file=sys.stderr)
 
     baseline, baseline_kind = _measured_baseline()
     print(json.dumps({
@@ -291,11 +340,22 @@ def main():
         "value_trained": None if value_t is None else round(value_t, 1),
         "agents_final_trained": n_agents_t,
         "trained_steps": train_steps,
+        # denominator/numerator split: the trained-model value is lower than
+        # the headline almost entirely via mean_active (the model keeps
+        # fewer agents alive), NOT via program speed — the same executable
+        # runs both, compare the dt fields
+        "batched_rollout_ms": round(dt * 1e3, 1),
+        "batched_rollout_ms_trained": None if value_t is None
+        else round(dt_t * 1e3, 1),
+        "mean_active": round(asteps / (B * cfg.num_recurrent_steps_val), 1),
+        "mean_active_trained": None if value_t is None
+        else round(asteps_t / (B * cfg.num_recurrent_steps_val), 1),
         "single_rollout_ms": round(dt_one * 1e3, 1),
-        "single_rollout_ms_latency_cfg": None if dt_one_lat is None
-        else round(dt_one_lat * 1e3, 1),
+        "single_rollout_ms_throughput_cfg": round(dt_one_tp * 1e3, 1),
         "value_bucketed": None if value_b is None else round(value_b, 1),
         "bucket_agents": bucket,
+        "sparse_bucket_speedup": None if sparse_speedup is None
+        else round(sparse_speedup, 2),
         "flops_per_batched_rollout": flops_per_batch,
         "mfu_vs_bf16_peak": None if mfu is None else round(mfu, 5),
         "compute_dtype": cfg.compute_dtype,
