@@ -31,7 +31,12 @@ class _ValOffset:
 def main(argv=None):
     p = argparse.ArgumentParser("infgen_tpu")
     p.add_argument("mode", choices=["train", "validate", "rollout",
-                                    "check-inputs", "export"])
+                                    "stream", "check-inputs", "export"])
+    p.add_argument("--total_steps", type=int, default=900,
+                   help="stream: total future 10 Hz frames to generate")
+    p.add_argument("--segment_steps", type=int, default=None,
+                   help="stream: frames per compiled segment (default: "
+                        "num_recurrent_steps_val)")
     p.add_argument("--out", default=None,
                    help="export: output artifact path (default "
                         "<save_dir>/rollout_a<A>.stablehlo)")
@@ -175,6 +180,50 @@ def main(argv=None):
             if restored is not None:
                 state = restored
         validate_open_loop(trainer, state, dataset, args.num_scenarios)
+
+    elif args.mode == "stream":
+        # unbounded-horizon serving (rollout/streaming.py): chain the fixed
+        # compiled segment, recycle exited agents' slots via compaction +
+        # re-bucketing, stitch a global agent registry
+        import numpy as np
+
+        from infgen_tpu.rollout.serving import RolloutServer
+        from infgen_tpu.rollout.streaming import StreamingRollout
+        from infgen_tpu.train.train_step import Trainer
+
+        trainer = Trainer(cfg)
+        if args.synthetic or not args.data_dir:
+            from infgen_tpu.train.loop import SyntheticDataset
+            dataset = SyntheticDataset(cfg, size=args.num_scenarios)
+        else:
+            from infgen_tpu.data.waymo import WaymoDataset
+            dataset = WaymoDataset(args.data_dir, cfg, training=False)
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed), dataset[0])
+        if args.ckpt_path:
+            from infgen_tpu.train.checkpoint import CheckpointManager
+            restored = CheckpointManager(args.ckpt_path).restore(
+                jax.device_get(state))
+            if restored is not None:
+                state = restored
+
+        seg = args.segment_steps or cfg.num_recurrent_steps_val
+        srv = RolloutServer(cfg, trainer.attr, trainer.motion_tok,
+                            trainer.map_vocab, num_recurrent_steps=seg,
+                            agent_buckets=(32, 64, cfg.max_agents))
+        stream = StreamingRollout(srv, segment_steps=seg)
+        os.makedirs(args.save_dir, exist_ok=True)
+        for i in range(min(args.num_scenarios, len(dataset))):
+            res = stream.run(state.params, dataset[i],
+                             jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                                i),
+                             total_steps=args.total_steps)
+            G, F = res["state"].shape
+            path = os.path.join(args.save_dir, f"stream_{i:06d}.npz")
+            np.savez_compressed(path, **{k: v for k, v in res.items()
+                                         if isinstance(v, np.ndarray)})
+            print(f"scenario {i}: {F} frames ({len(res['segments'])} "
+                  f"segments), {G} agents ever alive, buckets "
+                  f"{[s['bucket'] for s in res['segments']]} -> {path}")
 
     elif args.mode in ("validate", "rollout"):
         import numpy as np

@@ -1,0 +1,220 @@
+"""Streaming ("infinite") closed-loop generation at bounded memory.
+
+The reference generates long horizons by letting its python inference loop
+run more recurrent steps (`num_recurrent_steps`, agent_decoder.py:1605-2389)
+— per-step python state and output tensors grow with the horizon. Under XLA
+the compiled rollout has a static horizon R and static capacity (A, P); this
+module streams an arbitrarily long simulation through that fixed program:
+
+  run one R-step segment -> take its last `num_historical_steps` frames as
+  the next segment's history (re-tokenized exactly like logged history) ->
+  free the slots of agents that exited -> compact live rows into a prefix
+  (`compact_scenario`) and re-bucket (`RolloutServer`) -> continue.
+
+Compile cost, HBM, and host memory per segment stay O(R x bucket); the
+horizon and the total number of simulated agents are unbounded (dead slots
+are recycled between segments, which the in-segment program cannot do).
+Every segment reuses the same cached bucket executables.
+
+The temporal window makes the restart near-exact: the trunk only attends to
+the last `time_span // SHIFT` token columns anyway (closed_loop.py window
+slice; reference edge filter agent_decoder.py:586-587), so a segment
+boundary differs from a continuous rollout only through motion
+re-tokenization of the seam history (the contour matcher re-quantizes the
+rolled-out 10 Hz poses — sub-token drift, same class as the reference's own
+history stitching at :2311-2335).
+"""
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from infgen_tpu.config import (ENTER_STATE, EXIT_STATE, INVALID_STATE,
+                               VALID_STATE)
+from infgen_tpu.data.scenario import AgentData, Scenario
+from infgen_tpu.rollout.serving import RolloutServer, compact_scenario
+
+
+def continuation_scenario(prev: Scenario, out: Dict, num_historical_steps: int
+                          ) -> Scenario:
+    """Build the next segment's Scenario from a rollout output.
+
+    The last `num_historical_steps` 10 Hz frames of the rollout become the
+    new history; slots whose final state is INVALID or EXIT are freed
+    (slot_mask False) so compaction can recycle them. Row order is preserved
+    (row i of the result is row i of the rollout output).
+    """
+    Hs = num_historical_steps
+    traj = np.asarray(out["pred_traj"])[:, -Hs:]            # [A, Hs, 2]
+    head = np.asarray(out["pred_head"])[:, -Hs:]
+    state = np.asarray(out["pred_state"])[:, -Hs:]
+    active = np.asarray(out["slot_active"])
+    A = traj.shape[0]
+
+    # a frame is a real pose for every non-INVALID state (ENTER included:
+    # the insertion records the agent's pose from its enter column; EXIT
+    # frames still carry the final pose)
+    valid = (state != INVALID_STATE) & active[:, None]
+    alive = active & (state[:, -1] != INVALID_STATE) \
+        & (state[:, -1] != EXIT_STATE)
+    av = int(np.asarray(out["av_index"]))
+    alive[av] = True                                        # ego never exits
+
+    # 10 Hz finite-difference velocity, zeroed where either endpoint of the
+    # difference is invalid (frame 0 copies frame 1's estimate)
+    vel = np.zeros_like(traj)
+    vel[:, 1:] = (traj[:, 1:] - traj[:, :-1]) * 10.0
+    vel[:, 0] = vel[:, 1]
+    pair_ok = valid.copy()
+    pair_ok[:, 1:] &= valid[:, :-1]
+    pair_ok[:, 0] = pair_ok[:, 1]
+    vel = np.where(pair_ok[:, :, None], vel, 0.0)
+
+    # elevation: planar model (reference hardcodes simulated z = 0,
+    # agent_decoder.py:2338); carry the previous scenario's last logged z
+    # forward for rows that had one, 0 for inserted agents
+    prev_elev = np.asarray(prev.agents.elevation)
+    last_z = np.zeros((A,), np.float32)
+    n = min(A, prev_elev.shape[0])
+    pv = np.asarray(prev.agents.valid)[:n]
+    has = pv.any(axis=1)
+    idx = np.where(has, pv.shape[1] - 1 - np.argmax(pv[:, ::-1], axis=1), 0)
+    last_z[:n] = np.where(has, prev_elev[np.arange(n), idx], 0.0)
+    elev = np.broadcast_to(last_z[:, None], (A, Hs)).copy()
+
+    agents = AgentData(
+        valid=valid & alive[:, None],
+        position=np.where(valid[:, :, None], traj, 0.0).astype(np.float32),
+        elevation=elev.astype(np.float32),
+        heading=np.where(valid, head, 0.0).astype(np.float32),
+        velocity=vel.astype(np.float32),
+        shape=np.asarray(out["pred_shape"], np.float32),
+        type=np.asarray(out["pred_type"], np.int32),
+        slot_mask=alive,
+        train_mask=alive,
+        av_index=np.asarray(av, np.int32),
+    )
+    return Scenario(agents=agents, map=prev.map,
+                    scenario_id=prev.scenario_id)
+
+
+class StreamingRollout:
+    """Drive an unbounded-horizon simulation through a RolloutServer.
+
+    Keeps a host-side global agent registry across segments: every agent
+    that ever lived gets a stable global id (gid); per-segment bucket rows
+    are mapped back through the compaction permutations. Results are
+    numpy arrays over [G, F] (G = agents ever alive, F = 10 Hz frames).
+    """
+
+    def __init__(self, server: RolloutServer, segment_steps: int):
+        if server.num_recurrent_steps not in (None, segment_steps):
+            raise ValueError("server.num_recurrent_steps must match "
+                             "segment_steps")
+        self.server = server
+        if server.num_recurrent_steps is None:
+            server.num_recurrent_steps = segment_steps
+        self.R = segment_steps
+        self.Hs = server.cfg.num_historical_steps
+
+    def run(self, params, scenario: Scenario, rng, total_steps: int) -> Dict:
+        """Simulate >= total_steps future 10 Hz frames (rounded up to whole
+        segments). Returns the stitched global registry."""
+        Hs, R = self.Hs, self.R
+        n_seg = -(-total_steps // R)
+
+        traj_all, head_all, state_all = [], [], []          # [G, F] growing
+        gid_type: list = []
+        gid_shape: list = []
+        slot2gid: Optional[np.ndarray] = None               # row -> gid
+        av_gid = None
+        per_segment = []
+        scen = scenario
+
+        for seg in range(n_seg):
+            rng, seg_rng = jax.random.split(rng)
+            # compact live rows into a prefix so bucket_for can shrink; the
+            # server then re-pads to its bucket without reordering rows
+            scen_c, perm = compact_scenario(scen)
+            if slot2gid is None:
+                # first segment: every compacted live row is a new gid
+                n_live = int(np.asarray(scen_c.agents.slot_mask).sum())
+                slot2gid = np.full((perm.shape[0],), -1, np.int64)
+                slot2gid[:n_live] = np.arange(n_live)
+                gid_type = list(np.asarray(scen_c.agents.type)[:n_live])
+                gid_shape = list(np.asarray(scen_c.agents.shape)[:n_live])
+            else:
+                slot2gid = slot2gid[perm]
+            av_gid = int(slot2gid[int(np.asarray(scen_c.agents.av_index))])
+            assert av_gid >= 0
+
+            out = self.server.rollout(params, scen_c, seg_rng,
+                                      input_rng=seg_rng)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            A_b = out["pred_traj"].shape[0]
+            # bucket rows beyond the previous capacity start unmapped
+            row2gid = np.full((A_b,), -1, np.int64)
+            n_map = min(A_b, slot2gid.shape[0])
+            row2gid[:n_map] = slot2gid[:n_map]
+
+            # newly-activated slots this segment -> fresh gids
+            active = out["slot_active"]
+            for r in np.nonzero(active & (row2gid < 0))[0]:
+                row2gid[r] = len(gid_type)
+                gid_type.append(int(out["pred_type"][r]))
+                gid_shape.append(np.asarray(out["pred_shape"][r]))
+
+            # frames to append: the whole Hs+R span for segment 0, only the
+            # R generated frames afterwards (the first Hs re-derive the
+            # previous segment's tail)
+            lo = 0 if seg == 0 else Hs
+            F_new = out["pred_traj"].shape[1] - lo
+            G = len(gid_type)
+            rows = np.nonzero(row2gid >= 0)[0]
+            t = np.zeros((G, F_new, 2), np.float32)
+            h = np.zeros((G, F_new), np.float32)
+            s = np.full((G, F_new), INVALID_STATE,
+                        out["pred_state"].dtype)
+            t[row2gid[rows]] = out["pred_traj"][rows, lo:]
+            h[row2gid[rows]] = out["pred_head"][rows, lo:]
+            s[row2gid[rows]] = out["pred_state"][rows, lo:]
+            traj_all.append(t)
+            head_all.append(h)
+            state_all.append(s)
+            per_segment.append(dict(
+                bucket=A_b, n_alive=int(active.sum()),
+                n_inserted=int(out["n_inserted"])))
+
+            scen = continuation_scenario(scen_c, out, Hs)
+            # rows that did not survive the boundary lose their gid: their
+            # slot may be recycled by a later insertion, which must become a
+            # NEW agent, not a resurrection of the dead gid
+            slot2gid = np.where(np.asarray(scen.agents.slot_mask),
+                                row2gid, -1)
+
+        G = len(gid_type)
+
+        def cat(bufs, fill):
+            """Stitch per-segment [G_seg, F] blocks over a common G rows
+            (later segments know more agents; earlier blocks pad with
+            fill = the agent did not exist yet)."""
+            out_ = []
+            for b in bufs:
+                if b.shape[0] < G:
+                    pad = np.full((G - b.shape[0],) + b.shape[1:], fill,
+                                  b.dtype)
+                    b = np.concatenate([b, pad], axis=0)
+                out_.append(b)
+            return np.concatenate(out_, axis=1)
+
+        return dict(
+            traj=cat(traj_all, 0.0),
+            head=cat(head_all, 0.0),
+            state=cat(state_all, INVALID_STATE),
+            type=np.asarray(gid_type, np.int32),
+            shape=np.asarray(gid_shape, np.float32),
+            av_gid=av_gid,
+            segments=per_segment,
+            frames_per_segment=[Hs + R] + [R] * (n_seg - 1),
+        )

@@ -1,0 +1,143 @@
+"""Streaming unbounded-horizon rollout (infgen_tpu/rollout/streaming.py).
+
+Load-bearing properties:
+1. Causal prefix: the first segment IS the plain rollout (the scan is
+   causal, so a shorter-horizon program reproduces the long program's
+   prefix) — checked against a single long rollout.
+2. The global agent registry stitches segments consistently: stable gids
+   across compaction/re-bucketing, legal state ids, finite motion, ego
+   alive forever, frame accounting exact.
+3. Determinism: same seed -> identical stitched arrays.
+"""
+
+import jax
+import numpy as np
+
+from infgen_tpu.config import (Config, ENTER_STATE, EXIT_STATE,
+                               INVALID_STATE, VALID_STATE)
+from infgen_tpu.data.features import build_model_inputs
+from infgen_tpu.data.synthetic import make_synthetic_scenario
+from infgen_tpu.rollout.closed_loop import make_rollout_fn
+from infgen_tpu.rollout.serving import RolloutServer
+from infgen_tpu.rollout.streaming import StreamingRollout, continuation_scenario
+from infgen_tpu.train.train_step import Trainer
+
+TINY = dict(max_agents=16, max_map_tokens=128, num_agent_layers=2,
+            num_seed_layers=1, num_map_layers=1, hidden_dim=32,
+            num_heads=2, head_dim=16, num_freq_bands=8,
+            num_seed_feature=4)
+
+
+def _setup(**kw):
+    cfg = Config(**TINY, **kw)
+    tr = Trainer(cfg)
+    scen = make_synthetic_scenario(cfg, seed=0, num_agents=6)
+    state = tr.init_state(jax.random.PRNGKey(0), scen)
+    return cfg, tr, scen, state
+
+
+def test_streaming_prefix_matches_long_rollout():
+    """Motion-only, beam 1 (deterministic): the stitched stream's first
+    segment must reproduce the long single-program rollout's prefix."""
+    cfg, tr, scen, state = _setup(num_recurrent_steps_val=40,
+                                  motion_beam_size=1, insert_limit=0)
+    Hs = cfg.num_historical_steps
+    R_seg = 20
+
+    rng = jax.random.PRNGKey(3)
+    _, seg_rng = jax.random.split(rng)   # the stream's segment-0 key
+
+    long_fn = make_rollout_fn(tr.model, cfg, tr.attr, tr.motion_tok,
+                              tr.map_vocab, jit=True)
+    inputs = jax.jit(lambda s, r: build_model_inputs(
+        cfg, tr.motion_tok, tr.attr, s, r))(scen, seg_rng)
+    out_long = jax.device_get(long_fn(state.params, scen, inputs, seg_rng))
+
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(16,), num_recurrent_steps=R_seg)
+    stream = StreamingRollout(srv, segment_steps=R_seg)
+    res = stream.run(state.params, scen, rng, total_steps=40)
+
+    n = int(np.asarray(scen.agents.slot_mask).sum())
+    F_pre = Hs + R_seg
+    # synthetic live rows are already contiguous, so gid i == slot i
+    np.testing.assert_allclose(res["traj"][:n, :F_pre],
+                               np.asarray(out_long["pred_traj"])[:n, :F_pre],
+                               atol=1e-4)
+    np.testing.assert_array_equal(
+        res["state"][:n, :F_pre],
+        np.asarray(out_long["pred_state"])[:n, :F_pre])
+    assert res["traj"].shape[1] == Hs + 40
+    assert res["frames_per_segment"] == [Hs + 20, 20]
+
+
+def test_streaming_with_insertion_invariants_and_determinism():
+    cfg, tr, scen, state = _setup(num_recurrent_steps_val=20)
+    Hs = cfg.num_historical_steps
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(8, 16), agent_headroom=2,
+                        num_recurrent_steps=20)
+    stream = StreamingRollout(srv, segment_steps=20)
+    res = stream.run(state.params, scen, jax.random.PRNGKey(5),
+                     total_steps=60)
+    res2 = stream.run(state.params, scen, jax.random.PRNGKey(5),
+                      total_steps=60)
+
+    G, F = res["state"].shape
+    n0 = int(np.asarray(scen.agents.slot_mask).sum())
+    assert F == Hs + 60 and len(res["segments"]) == 3
+    assert G >= n0
+    assert res["traj"].shape == (G, F, 2)
+    assert np.isfinite(res["traj"]).all()
+    assert set(np.unique(res["state"])) <= {INVALID_STATE, VALID_STATE,
+                                            ENTER_STATE, EXIT_STATE}
+    # ego alive across every frame after the initial one
+    assert (res["state"][res["av_gid"], 2:] != INVALID_STATE).all()
+    # streaming guarantee: an agent whose state at a segment's LAST frame is
+    # EXIT/INVALID loses its slot and never reappears in later segments (its
+    # freed slot may be reused, but that is a new gid). Within a segment the
+    # state is a per-step head argmax (reference semantics) and may flicker.
+    bounds = np.cumsum(res["frames_per_segment"])
+    for g in range(G):
+        s = res["state"][g]
+        for fb in bounds[:-1]:
+            if s[fb - 1] in (INVALID_STATE, EXIT_STATE) and \
+                    (s[:fb] != INVALID_STATE).any():
+                assert (s[fb:] == INVALID_STATE).all(), (g, fb)
+    # determinism
+    np.testing.assert_array_equal(res["traj"], res2["traj"])
+    np.testing.assert_array_equal(res["state"], res2["state"])
+    assert res["segments"] == res2["segments"]
+
+
+def test_continuation_scenario_semantics():
+    """Slot freeing + history extraction: exited/invalid rows lose their
+    slot, live rows carry exactly the last Hs frames."""
+    cfg, tr, scen, state = _setup(num_recurrent_steps_val=20,
+                                  motion_beam_size=1, insert_limit=0)
+    Hs = cfg.num_historical_steps
+    fn = make_rollout_fn(tr.model, cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                         jit=True)
+    rng = jax.random.PRNGKey(1)
+    inputs = jax.jit(lambda s, r: build_model_inputs(
+        cfg, tr.motion_tok, tr.attr, s, r))(scen, rng)
+    out = {k: np.array(v) for k, v in
+           jax.device_get(fn(state.params, scen, inputs, rng)).items()}
+
+    # forge one live row into an exit at the last frame
+    av = int(out["av_index"])
+    victim = next(r for r in np.nonzero(out["slot_active"])[0] if r != av)
+    out["pred_state"][victim, -1] = EXIT_STATE
+
+    nxt = continuation_scenario(scen, out, Hs)
+    assert not bool(np.asarray(nxt.agents.slot_mask)[victim])
+    assert bool(np.asarray(nxt.agents.slot_mask)[av])
+    assert nxt.agents.position.shape[1] == Hs
+    live = np.asarray(nxt.agents.slot_mask)
+    np.testing.assert_allclose(
+        np.asarray(nxt.agents.position)[live],
+        out["pred_traj"][live, -Hs:], atol=0)
+    # velocities are 10 Hz finite differences on valid pairs
+    v = np.asarray(nxt.agents.velocity)[av, 5]
+    d = (out["pred_traj"][av, -Hs + 5] - out["pred_traj"][av, -Hs + 4]) * 10
+    np.testing.assert_allclose(v, d, atol=1e-5)
