@@ -197,6 +197,13 @@ class Config:
     # across lanes; the fixed form gives XLA a static trip count to pipeline
     # across at the cost of always paying the worst case per lane.
     insertion_fixed_trip: bool = False
+    # unroll factor for the rollout `lax.scan` over token steps (lax.scan
+    # unroll=N): duplicates the step body N times per loop trip so XLA can
+    # schedule across adjacent steps. The carry dependence is serial, so any
+    # win is overlap of per-step prep (neighbor topk, relation embeddings)
+    # with the previous step's trunk — measured on the v5e before changing
+    # the default (compile time scales with N over the axon relay).
+    rollout_scan_unroll: int = 1
     # rematerialize attention activations in the training backward. Measured
     # on v5e (bf16, scripts/bench_train.py): OFF is 21% faster at batch<=2
     # per chip (0.223 vs 0.283 s/step) but batch 8 then needs 35 GB HBM

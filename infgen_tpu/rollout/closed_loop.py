@@ -258,7 +258,8 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
             return carry, out
 
         raw_feat0 = carry.raw_feat
-        carry, outs = jax.lax.scan(body, carry, jnp.arange(n_steps))
+        carry, outs = jax.lax.scan(body, carry, jnp.arange(n_steps),
+                                   unroll=cfg.rollout_scan_unroll)
 
         result = _finalize(carry, outs, scenario, inputs, slot_active, av)
         if debug:

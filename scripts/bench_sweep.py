@@ -145,6 +145,158 @@ class Bench:
                 flat_save(TRAIN_CACHE, self._trained)
         return self._trained
 
+    def measure_wosac(self, name, B=8, num_agents=64, reps=None):
+        """On-device WOSAC scoring throughput (reference: CPU process pool,
+        compute_metrics.py:1754-1801).
+
+        Three numbers: (a) scoring a batch of finished rollouts (vmapped
+        compute_metric_features + compute_scenario_metrics under one jit),
+        (b) the rollout program alone, (c) rollout + scoring FUSED in one
+        compiled program (trajectories are scored without ever leaving HBM).
+        Log histograms come from the same scenes' GT features, built on
+        device too.
+        """
+        from infgen_tpu.metrics.features import compute_metric_features
+        from infgen_tpu.metrics.wosac import (WosacConfig,
+                                              compute_scenario_metrics,
+                                              make_log_distributions)
+        cfg = self.cfg
+        reps = reps or self.reps
+        wcfg = WosacConfig()
+        scens, batch = self.scenes(B, num_agents)
+        inputs, rngs = self.inputs_for(cfg, batch, B)
+        model = InfGenModel(cfg, self.attr.grid, self.attr.grid_size,
+                            self.attr.angle_size)
+        fn = make_rollout_fn(model, cfg, self.attr, self.mt, self.map_vocab,
+                             jit=False)
+        params = jax.device_put(self.trained_params())
+        jax.block_until_ready(params)
+
+        # log histograms from the same scenes' GT (dump+aggregate analog,
+        # offline.py:44-86) — all on device, one jit
+        def gt_feats(scen, inp):
+            return compute_metric_features(
+                scen.agents.position[..., :2], scen.agents.heading,
+                scen.agents.valid, scen.agents.shape[:, 0],
+                scen.agents.shape[:, 1], scen.agents.slot_mask,
+                scen.agents.av_index, inp.tokens.token_pos,
+                inp.tokens.state_idx, traj_z=scen.agents.elevation)
+
+        def build_log_dist(batch, inputs):
+            g = jax.vmap(gt_feats)(batch, inputs)
+            flat = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), g)
+            return make_log_distributions(wcfg, flat)
+        log_dist = jax.block_until_ready(
+            jax.jit(build_log_dist)(batch, inputs))
+
+        def score_one(o):
+            sim = compute_metric_features(
+                o["pred_traj"], o["pred_head"], o["pred_valid"],
+                o["eval_shape"][:, 0], o["eval_shape"][:, 1],
+                o["slot_active"], o["av_index"], o["pos_a"],
+                o["next_state_idx"])
+            return compute_scenario_metrics(wcfg, log_dist, sim)
+
+        batched = jax.jit(jax.vmap(fn, in_axes=(None, 0, 0, 0)))
+        score_j = jax.jit(jax.vmap(score_one))
+
+        def roll_and_score(params, scen, inp, rng):
+            return score_one(fn(params, scen, inp, rng))
+        fused = jax.jit(jax.vmap(roll_and_score, in_axes=(None, 0, 0, 0)))
+
+        def timed(call, drain, n):
+            out = call(0)
+            drain(out)
+            t0 = time.perf_counter()
+            outs = [call(10 + i) for i in range(n)]
+            for o in outs:
+                drain(o)
+            return (time.perf_counter() - t0) / n, outs[-1]
+
+        keys = lambda i: jax.random.split(jax.random.PRNGKey(i), B)
+        dt_roll, out = timed(lambda i: batched(params, batch, inputs, keys(i)),
+                             lambda o: float(o["pred_traj"].sum()), reps)
+        out_dev = jax.block_until_ready(out)
+        dt_score, m = timed(lambda i: score_j(out_dev),
+                            lambda o: float(o["metametric"].sum()), reps)
+        dt_fused, mf = timed(lambda i: fused(params, batch, inputs, keys(i)),
+                             lambda o: float(o["metametric"].sum()), reps)
+        rec = {
+            "exp": name, "B": B, "A": int(cfg.max_agents),
+            "score_ms_per_batch": round(dt_score * 1e3, 2),
+            "score_scenarios_per_sec": round(B / dt_score, 1),
+            "rollout_ms": round(dt_roll * 1e3, 1),
+            "rollout_plus_score_ms": round(dt_fused * 1e3, 1),
+            "fused_overhead_ms": round((dt_fused - dt_roll) * 1e3, 1),
+            "metametric_mean": round(float(np.mean(
+                np.asarray(mf["metametric"]))), 4),
+            "reps": reps,
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
+    def measure_serving_mix(self, name, sizes=(8, 16, 32, 64), per_size=8,
+                            reps=None):
+        """Mixed-fleet serving: scenarios of different live-agent counts
+        dispatched by RolloutServer (grouped per capacity bucket, batched
+        per group) vs everything through the full A=128 program in B=8
+        chunks. The realistic serving workload: real WOMD scenes span
+        8..128 agents (meta filter, scalable_dataset.py:48-67), and a
+        fixed-capacity program prices every scene at 128 slots.
+        """
+        from infgen_tpu.rollout.serving import RolloutServer
+        cfg = self.cfg
+        reps = reps or max(2, self.reps // 3)
+        scens = []
+        for na in sizes:
+            for s in range(per_size):
+                scens.append(make_synthetic_scenario(
+                    cfg, seed=1000 * na + s, num_agents=na))
+        n = len(scens)
+        params = jax.device_put(self.trained_params())
+        jax.block_until_ready(params)
+        key = jax.random.PRNGKey(0)
+
+        def run_server(server):
+            outs = server.rollout_batch(params, scens,
+                                        jax.random.split(key, n))
+            for o in outs:
+                float(o["pred_traj"].sum())
+            t0 = time.perf_counter()
+            for i in range(reps):
+                outs = server.rollout_batch(
+                    params, scens, jax.random.split(
+                        jax.random.PRNGKey(10 + i), n))
+                for o in outs:
+                    float(o["pred_traj"].sum())
+            dt = (time.perf_counter() - t0) / reps
+            asteps = float(np.sum([
+                (np.asarray(o["pred_state"])[:, cfg.num_historical_steps:]
+                 != 0).sum() for o in outs]))
+            return dt, asteps
+
+        bucketed = RolloutServer(cfg, self.attr, self.mt, self.map_vocab,
+                                 agent_buckets=(16, 32, 64, 128))
+        full = RolloutServer(cfg, self.attr, self.mt, self.map_vocab,
+                             agent_buckets=(cfg.max_agents,))
+        dt_b, asteps_b = run_server(bucketed)
+        dt_f, asteps_f = run_server(full)
+        rec = {
+            "exp": name, "n_scenarios": n,
+            "sizes": list(sizes), "per_size": per_size,
+            "bucketed_s": round(dt_b, 3),
+            "full_s": round(dt_f, 3),
+            "speedup": round(dt_f / dt_b, 2),
+            "scenarios_per_sec_bucketed": round(n / dt_b, 1),
+            "scenarios_per_sec_full": round(n / dt_f, 1),
+            "agent_steps_per_sec_bucketed": round(asteps_b / dt_b, 1),
+            "agent_steps_per_sec_full": round(asteps_f / dt_f, 1),
+            "reps": reps,
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
     def measure(self, name, cfg=None, B=8, num_agents=64, trained=False,
                 bucket=None, map_cap=None, force_insert=False, reps=None):
         """Compile + run one experiment; print one JSON line.
@@ -237,6 +389,17 @@ def experiments(b):
                                                B=16, trained=True),
         "trained_b32_fixed": lambda: b.measure("trained_b32_fixed", cfg=fixed,
                                                B=32, trained=True, reps=4),
+        # on-device WOSAC scoring (reference: CPU process pool)
+        "wosac_score": lambda: b.measure_wosac("wosac_score", B=8),
+        # mixed-fleet bucketed serving vs one full-capacity program
+        "serving_mix": lambda: b.measure_serving_mix("serving_mix"),
+        # rollout scan unroll: overlap per-step prep with the previous
+        # step's trunk (carry dependence is serial; compile time ~x unroll)
+        "default_b8_unroll2": lambda: b.measure(
+            "default_b8_unroll2", cfg=cfg.replace(rollout_scan_unroll=2), B=8),
+        "trained_b8_unroll2": lambda: b.measure(
+            "trained_b8_unroll2", cfg=cfg.replace(rollout_scan_unroll=2), B=8,
+            trained=True),
         # refine-candidate cap A/B under trained insertion load
         "trained_b8_nc0": lambda: b.measure(
             "trained_b8_nc0", cfg=cfg.replace(refine_map_candidates=0), B=8,
