@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--latency", action="store_true",
                     help="all latency-mode kernels (== configs/"
                          "ours_long_term_latency.yaml)")
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="override rollout_scan_unroll (0 = keep config)")
     ap.add_argument("--bucket", type=int, default=0,
                     help="occupancy bucket: rerun at max_agents=BUCKET via "
                          "rollout/serving.py repadding (0 = off)")
@@ -67,6 +69,8 @@ def main():
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "..", "configs", "ours_long_term.yaml"))
     cfg = cfg.replace(num_recurrent_steps_val=args.steps)
+    if args.unroll:
+        cfg = cfg.replace(rollout_scan_unroll=args.unroll)
     if args.fused:
         cfg = cfg.replace(use_fused_block=True)
     if args.colk:
