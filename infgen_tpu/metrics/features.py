@@ -395,6 +395,19 @@ def compute_metric_features(traj_xy, traj_heading, valid, length, width,
     )
 
 
+def unfold_axis(x, size: int, step: int):
+    """Sliding windows over the last axis -> [..., n_window, size].
+
+    Built from n static slices (stacked), NOT a gather with a [n, size]
+    index array: minor-axis gathers are effectively scalar on TPU and made
+    WOSAC scoring ~4x slower than the whole rollout it scores.
+    """
+    n = (x.shape[-1] - size) // step + 1
+    wins = [jax.lax.slice_in_dim(x, i * step, i * step + size, axis=-1)
+            for i in range(n)]
+    return jnp.stack(wins, axis=-2)
+
+
 def unfold_features(f: MetricFeatures, size: int = N_SIMULATION_STEPS,
                     step: int = SHIFT) -> MetricFeatures:
     """Sliding windows along time -> [..., n_window, size].
@@ -405,10 +418,7 @@ def unfold_features(f: MetricFeatures, size: int = N_SIMULATION_STEPS,
     """
     size = min(size, int(f.valid.shape[-1]))
 
-    def uf(x, s, st):
-        n = (x.shape[-1] - s) // st + 1
-        idx = jnp.arange(n)[:, None] * st + jnp.arange(s)[None]
-        return x[..., idx]
+    uf = unfold_axis
 
     return MetricFeatures(
         valid=uf(f.valid, size, step),

@@ -93,6 +93,11 @@ def compute_metrics_offline(rollout_dir: str, total_features_path: str,
     log_feats = _load_features(total_features_path)
     log_dist = make_log_distributions(wcfg, log_feats)
 
+    # jit per distinct (shape, road-edge presence) signature; log_dist rides
+    # as a traced argument (closure-captured arrays cost ~40 ms/call per
+    # scored field on the axon relay, and eager scoring there is seconds/op)
+    score_fn = jax.jit(lambda ld, f: compute_scenario_metrics(wcfg, ld, f))
+
     results = []
     for f in sorted(glob.glob(os.path.join(rollout_dir, "rollout_*.npz"))):
         d = np.load(f)
@@ -105,7 +110,7 @@ def compute_metrics_offline(rollout_dir: str, total_features_path: str,
             d["length"], d["width"], d["slot_active"].astype(bool),
             int(d["av_index"]), d["token_pos"], d["token_state"],
             road_edges, road_cyclic)
-        m = compute_scenario_metrics(wcfg, log_dist, sim)
+        m = score_fn(log_dist, sim)
         m = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v).tolist())
              for k, v in m.items()}
         m["file"] = os.path.basename(f)

@@ -18,6 +18,7 @@ from infgen_tpu.metrics.features import (
     MetricFeatures,
     N_SIMULATION_STEPS,
     compute_kinematic_validity,
+    unfold_axis,
     unfold_features,
 )
 
@@ -93,6 +94,23 @@ class WosacConfig:
         return cls(**kwargs)
 
 
+def _uniform_bin_index(spec: HistogramSpec, v):
+    """Histogram bin of each value, as elementwise compares — no gathers.
+
+    Bitwise-equal to clip(searchsorted(edges, v, side="right") - 1,
+    0, num_bins-1) for the strictly increasing linspace edges: side="right"
+    returns the count of edges <= v, so summing the (v >= edge_i) indicators
+    over the SAME traced linspace edges reproduces it exactly. searchsorted's
+    per-element binary search gathers cost ~117 ms per scored field on a v5e
+    (vmap-8, [8,128,43,80]); the unrolled compares (num_bins <= 11 for every
+    WOSAC spec) are plain VPU ops.
+    """
+    edges = jnp.linspace(spec.min_val, spec.max_val, spec.num_bins + 1)
+    ss = sum((v >= edges[i]).astype(jnp.int32)
+             for i in range(spec.num_bins + 1))
+    return jnp.clip(ss - 1, 0, spec.num_bins - 1)
+
+
 def _histogram_log_probs(spec: HistogramSpec, values, valid=None):
     """Smoothed log-prob per bin from logged feature values.
 
@@ -100,15 +118,14 @@ def _histogram_log_probs(spec: HistogramSpec, values, valid=None):
     range, histogram, add pseudocount, normalize.
     values: flat array; valid: optional bool mask.
     """
-    edges = jnp.linspace(spec.min_val, spec.max_val, spec.num_bins + 1)
     v = values.reshape(-1).astype(jnp.float32)
     ok = jnp.isfinite(v)
     if valid is not None:
         ok = ok & valid.reshape(-1)
     v = jnp.clip(v, spec.min_val, spec.max_val)
-    bin_idx = jnp.clip(jnp.searchsorted(edges, v, side="right") - 1,
-                       0, spec.num_bins - 1)
-    counts = (jax.nn.one_hot(bin_idx, spec.num_bins) * ok[:, None]).sum(0)
+    bin_idx = _uniform_bin_index(spec, v)
+    counts = jnp.stack([((bin_idx == i) & ok).sum().astype(jnp.float32)
+                        for i in range(spec.num_bins)])
     counts = counts + spec.pseudocount
     return jnp.log(counts / counts.sum())
 
@@ -119,14 +136,17 @@ def _value_log_likelihood(spec: HistogramSpec, log_probs, sim_values):
     Mirrors log_likelihood_estimate_timeseries (compute_metrics.py:841-888):
     each sim value maps to its own histogram bin; values outside the range or
     NaN fall into bin 0 (the reference's torch.histogram-of-one-value quirk).
+    The bin->log-prob lookup is unrolled into num_bins broadcast selects
+    (static scalar slices of log_probs) instead of a per-element table
+    gather, which cost ~33 ms per scored field on a v5e.
     """
-    edges = jnp.linspace(spec.min_val, spec.max_val, spec.num_bins + 1)
     v = sim_values.astype(jnp.float32)
     in_range = jnp.isfinite(v) & (v >= spec.min_val) & (v <= spec.max_val)
-    bin_idx = jnp.clip(jnp.searchsorted(edges, v, side="right") - 1,
-                       0, spec.num_bins - 1)
-    bin_idx = jnp.where(in_range, bin_idx, 0)
-    return log_probs[bin_idx]
+    bin_idx = jnp.where(in_range, _uniform_bin_index(spec, v), 0)
+    ll = jnp.zeros(v.shape, jnp.float32)
+    for i in range(spec.num_bins):
+        ll = jnp.where(bin_idx == i, log_probs[i], ll)
+    return ll
 
 
 def _avg_valid(x, validity):
@@ -210,10 +230,12 @@ def compute_scenario_metrics(cfg: WosacConfig, log_dist: LogDistributions,
     out = {}
     long = {}
 
-    # kinematic fields share validity windows
+    # kinematic fields share validity windows (single-field unfolds: going
+    # through unfold_features would window all 14 fields to read one)
+    size = min(N_SIMULATION_STEPS, int(flat.valid.shape[-1]))
     speed_v, accel_v = compute_kinematic_validity(flat.valid)
-    speed_vw = unfold_features(flat._replace(valid=speed_v)).valid
-    accel_vw = unfold_features(flat._replace(valid=accel_v)).valid
+    speed_vw = unfold_axis(speed_v, size, SHIFT)
+    accel_vw = unfold_axis(accel_v, size, SHIFT)
 
     def score(name, spec, values, validity):
         ll = _value_log_likelihood(spec, getattr(log_dist, name), values)
@@ -258,8 +280,7 @@ def compute_scenario_metrics(cfg: WosacConfig, log_dist: LogDistributions,
 
     # token-rate validity for distance placement (compute_metrics.py:1029-1046)
     tok_valid = flat.valid[..., ::SHIFT]
-    tok_valid_w = unfold_features(flat._replace(
-        distance_placement=tok_valid)).distance_placement
+    tok_valid_w = unfold_axis(tok_valid, size // SHIFT, SHIFT // SHIFT)
     for name in ("distance_placement", "distance_removement"):
         spec = getattr(cfg, name)
         vals = getattr(simw, name)

@@ -47,11 +47,15 @@ def score(trainer, cfg, params, scens, inputs_b, log_dists, tag, rollout):
         o["pred_traj"], o["pred_head"], o["pred_valid"],
         o["eval_shape"][:, 0], o["eval_shape"][:, 1], o["slot_active"],
         o["av_index"], o["pos_a"], o["next_state_idx"]))
-    metas, colls = [], []
+    # jitted, with log_dist as a traced argument — eager scoring on the axon
+    # relay is seconds/op, and a closure-captured log_dist costs ~40 ms/call
+    # per scored field even under jit
     wcfg = WosacConfig()
+    score_fn = jax.jit(lambda ld, f: compute_scenario_metrics(wcfg, ld, f))
+    metas, colls = [], []
     for i in range(B):
         f = feats_fn(jax.tree.map(lambda x, i=i: x[i], out))
-        m = compute_scenario_metrics(wcfg, log_dists[i], f)
+        m = score_fn(log_dists[i], f)
         metas.append(float(m["metametric"]))
         colls.append(float(m["simulated_collision_rate"]))
     res = dict(metametric=float(np.mean(metas)),
