@@ -327,6 +327,76 @@ def main():
         except Exception as e:
             print(f"# sparse-serving bench skipped: {e}", file=sys.stderr)
 
+    # on-device WOSAC scoring (reference scores rollouts in a CPU process
+    # pool, compute_metrics.py:1754-1801; here the whole likelihood engine
+    # runs on the chip). Two numbers: scoring a finished batch, and rollout
+    # + scoring FUSED into one compiled program (trajectories never leave
+    # HBM). Log histograms are built on device from the same scenes' GT.
+    score_ms = fused_ms = None
+    if os.environ.get("INFGEN_BENCH_WOSAC", "1") not in ("", "0"):
+        try:
+            from infgen_tpu.metrics.features import compute_metric_features
+            from infgen_tpu.metrics.wosac import (WosacConfig,
+                                                  compute_scenario_metrics,
+                                                  make_log_distributions)
+            wcfg = WosacConfig()
+
+            def gt_feats(scen, inp):
+                return compute_metric_features(
+                    scen.agents.position[..., :2], scen.agents.heading,
+                    scen.agents.valid, scen.agents.shape[:, 0],
+                    scen.agents.shape[:, 1], scen.agents.slot_mask,
+                    scen.agents.av_index, inp.tokens.token_pos,
+                    inp.tokens.state_idx, traj_z=scen.agents.elevation)
+
+            def build_log_dist(batch, inputs):
+                g = jax.vmap(gt_feats)(batch, inputs)
+                flat = jax.tree.map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), g)
+                return make_log_distributions(wcfg, flat)
+            log_dist = jax.block_until_ready(
+                jax.jit(build_log_dist)(batch, inputs))
+
+            # log_dist as a traced ARGUMENT (closure-captured constants cost
+            # ~40 ms/call per scored field on the remote relay)
+            def score_one(ld, o):
+                sim = compute_metric_features(
+                    o["pred_traj"], o["pred_head"], o["pred_valid"],
+                    o["eval_shape"][:, 0], o["eval_shape"][:, 1],
+                    o["slot_active"], o["av_index"], o["pos_a"],
+                    o["next_state_idx"])
+                return compute_scenario_metrics(wcfg, ld, sim)
+            score_j = jax.jit(jax.vmap(score_one, in_axes=(None, 0)))
+
+            pb = params_t if value_t is not None else params
+            out_dev = jax.block_until_ready(
+                batched(pb, batch, inputs,
+                        jax.random.split(jax.random.PRNGKey(7), B)))
+            m = score_j(log_dist, out_dev)
+            float(m["metametric"].sum())
+            t0 = time.perf_counter()
+            ms = [score_j(log_dist, out_dev) for _ in range(10)]
+            for m in ms:
+                float(m["metametric"].sum())
+            score_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+            def roll_and_score(p, ld, scen, inp, rng):
+                return score_one(ld, rollout(p, scen, inp, rng))
+            fused = jax.jit(jax.vmap(roll_and_score,
+                                     in_axes=(None, None, 0, 0, 0)))
+            mf = fused(pb, log_dist, batch, inputs,
+                       jax.random.split(jax.random.PRNGKey(7), B))
+            float(mf["metametric"].sum())
+            t0 = time.perf_counter()
+            mfs = [fused(pb, log_dist, batch, inputs,
+                         jax.random.split(jax.random.PRNGKey(20 + i), B))
+                   for i in range(3)]
+            for mf in mfs:
+                float(mf["metametric"].sum())
+            fused_ms = (time.perf_counter() - t0) / 3 * 1e3
+        except Exception as e:
+            print(f"# wosac scoring bench skipped: {e}", file=sys.stderr)
+
     baseline, baseline_kind = _measured_baseline()
     print(json.dumps({
         "metric": "agent_steps_per_sec",
@@ -356,6 +426,13 @@ def main():
         "bucket_agents": bucket,
         "sparse_bucket_speedup": None if sparse_speedup is None
         else round(sparse_speedup, 2),
+        # on-device WOSAC scoring of a batch of B rollouts (the reference
+        # needs a host process pool for this); fused = rollout+score in ONE
+        # compiled program
+        "wosac_score_ms_per_scenario": None if score_ms is None
+        else round(score_ms / B, 2),
+        "fused_rollout_score_ms": None if fused_ms is None
+        else round(fused_ms, 1),
         "flops_per_batched_rollout": flops_per_batch,
         "mfu_vs_bf16_peak": None if mfu is None else round(mfu, 5),
         "compute_dtype": cfg.compute_dtype,

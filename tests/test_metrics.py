@@ -300,3 +300,48 @@ def test_road_edge_polylines_from_map():
     deltas = np.linalg.norm(np.diff(packed[..., :2], axis=1), axis=-1)
     seg_ok = (packed[:, :-1, 3] > 0) & (packed[:, 1:, 3] > 0)
     assert (deltas[seg_ok] < 10.0).all()
+
+
+def test_unrolled_binning_matches_searchsorted():
+    """The gather-free histogram binning / likelihood lookup must be
+    bitwise-equal to the searchsorted formulation it replaced (which
+    mirrors the reference's torch.histogram quirk semantics,
+    compute_metrics.py:841-888)."""
+    import jax
+    import jax.numpy as jnp
+
+    from infgen_tpu.metrics.features import unfold_axis
+    from infgen_tpu.metrics.wosac import (WosacConfig, _histogram_log_probs,
+                                          _uniform_bin_index,
+                                          _value_log_likelihood)
+
+    cfg = WosacConfig()
+    rng = np.random.default_rng(0)
+    for name in ("linear_speed", "linear_acceleration", "angular_speed",
+                 "angular_acceleration", "distance_to_nearest_object",
+                 "time_to_collision", "num_placement", "distance_placement"):
+        spec = getattr(cfg, name)
+        v = np.asarray(rng.uniform(spec.min_val - 1.0, spec.max_val + 1.0,
+                                   size=4096), np.float32)
+        v[::17] = np.nan  # NaNs must fall into bin 0 (reference quirk)
+        v = jnp.asarray(v)
+        edges = jnp.linspace(spec.min_val, spec.max_val, spec.num_bins + 1)
+        clipped = jnp.clip(v, spec.min_val, spec.max_val)
+        ref_idx = jnp.clip(
+            jnp.searchsorted(edges, clipped, side="right") - 1,
+            0, spec.num_bins - 1)
+        got_idx = _uniform_bin_index(spec, clipped)
+        ok = jnp.isfinite(v)
+        assert bool((ref_idx == got_idx)[ok].all()), name
+
+        lp = _histogram_log_probs(spec, v)
+        in_range = ok & (v >= spec.min_val) & (v <= spec.max_val)
+        old_idx = jnp.where(in_range, ref_idx, 0)
+        assert bool((lp[old_idx] == _value_log_likelihood(spec, lp, v)).all()), name
+
+    # unfold_axis == the index-gather sliding window it replaced
+    x = jnp.asarray(rng.normal(size=(3, 5, 80)).astype(np.float32))
+    size, step = 40, 5
+    n = (80 - size) // step + 1
+    idx = jnp.arange(n)[:, None] * step + jnp.arange(size)[None]
+    assert bool((x[..., idx] == unfold_axis(x, size, step)).all())
