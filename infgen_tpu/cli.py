@@ -219,8 +219,17 @@ def main(argv=None):
                              total_steps=args.total_steps)
             G, F = res["state"].shape
             path = os.path.join(args.save_dir, f"stream_{i:06d}.npz")
-            np.savez_compressed(path, **{k: v for k, v in res.items()
-                                         if isinstance(v, np.ndarray)})
+            # scalars/lists too (ADVICE r4): without av_gid and the segment
+            # boundaries the artifact can't identify the ego row or restitch
+            np.savez_compressed(
+                path,
+                av_gid=np.int64(res["av_gid"]),
+                frames_per_segment=np.asarray(res["frames_per_segment"],
+                                              np.int64),
+                segment_buckets=np.asarray(
+                    [s["bucket"] for s in res["segments"]], np.int64),
+                **{k: v for k, v in res.items()
+                   if isinstance(v, np.ndarray)})
             print(f"scenario {i}: {F} frames ({len(res['segments'])} "
                   f"segments), {G} agents ever alive, buckets "
                   f"{[s['bucket'] for s in res['segments']]} -> {path}")

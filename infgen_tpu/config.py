@@ -187,7 +187,10 @@ class Config:
     # pl2sa_radius of the insert). Bitwise-identical to the full-P topk
     # whenever <= NC masked tokens are in that radius (candidates keep
     # original index order, so tie-breaks match). 0 disables the cap.
-    refine_map_candidates: int = 512
+    # Default 0 = exact full-P refine (ADVICE r4: a dense >NC-token scene
+    # would silently approximate); the flagship yamls opt into 512 where it
+    # was measured throughput-neutral on v5e.
+    refine_map_candidates: int = 0
     # run the insertion loop as a fixed-trip fori_loop (exactly insert_limit
     # iterations, all writes masked by a running flag) instead of the
     # early-exit while_loop. Bitwise-identical outputs (each while iteration

@@ -113,7 +113,8 @@ class RolloutServer:
                  num_recurrent_steps: Optional[int] = None,
                  force_insert: bool = False,
                  mesh=None, param_shardings=None,
-                 compact: bool = False):
+                 compact: bool = False,
+                 bucket_cost_ms: Optional[Dict[int, float]] = None):
         self.cfg = cfg
         self.attr = attr
         self.motion_tok = motion_tok
@@ -134,8 +135,19 @@ class RolloutServer:
         # compact live rows into a prefix before bucketing (compact_scenario):
         # scenarios with scattered live slots then fit smaller buckets; each
         # output dict gains "slot_perm" (new row i = original agent
-        # slot_perm[i], padded with -1 beyond the bucket)
+        # slot_perm[i] for initially-live rows; -1 beyond the live count —
+        # rows there are padding or rollout-inserted agents with no
+        # original-slot identity)
         self.compact = compact
+        # measured per-bucket rollout cost (ms) on the serving hardware:
+        # capacity alone mis-picks because the agent axis rides the 128-lane
+        # dim in the [A, A] attention products, so e.g. A=96 pays near-A=128
+        # wall clock while capping insertion capacity (measured on v5e,
+        # SWEEPS.md round 5 — the r4 auto-pick chose 96 and LOST to 128).
+        # When set, bucket_for picks the cheapest feasible bucket and breaks
+        # near-ties (<=3%) toward the LARGER capacity (free headroom).
+        # Fill it with calibrate() or a measured table; None = capacity order.
+        self.bucket_cost_ms = dict(bucket_cost_ms) if bucket_cost_ms else None
         self._fns: Dict[Tuple[int, int], Tuple] = {}
 
     def bucket_for(self, scenario: Scenario) -> Tuple[int, int]:
@@ -149,11 +161,46 @@ class RolloutServer:
                 f"scenario needs (A>={n_agent}, P>={n_pt}) but the largest "
                 f"bucket is {(self.agent_buckets[-1], self.map_buckets[-1])}")
         need_a = n_agent + self.agent_headroom
-        A = next((b for b in self.agent_buckets if b >= max(need_a, n_agent)),
-                 self.agent_buckets[-1])
+        feasible = [b for b in self.agent_buckets
+                    if b >= max(need_a, n_agent)] or [self.agent_buckets[-1]]
+        costs = self.bucket_cost_ms
+        if costs and all(b in costs for b in feasible):
+            # cheapest feasible; within 3% of the cheapest, prefer the
+            # LARGEST capacity — same wall clock, more insertion headroom
+            cmin = min(costs[b] for b in feasible)
+            A = max(b for b in feasible if costs[b] <= 1.03 * cmin)
+        else:
+            A = feasible[0]
         P = next((b for b in self.map_buckets if b >= n_pt),
                  self.map_buckets[-1])
         return A, P
+
+    def calibrate(self, params, scenario: Scenario, rng=None,
+                  n_rep: int = 3) -> Dict[int, float]:
+        """Measure each agent bucket's rollout wall clock on the current
+        device with `params` and a representative scenario, and install the
+        table for bucket_for. Compile-then-time; returns {A: ms}."""
+        import time as _time
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        scenario, _ = self._maybe_compact(scenario)
+        P = self.map_buckets[-1]
+        slot_mask = np.asarray(scenario.agents.slot_mask)
+        n_agent = int(np.max(np.nonzero(slot_mask)[0], initial=-1)) + 1
+        table: Dict[int, float] = {}
+        for A in self.agent_buckets:
+            if A < n_agent:
+                continue
+            fn, build = self._get(A, P)
+            scen = repad_scenario(scenario, A, P)
+            inputs = build(scen, rng)
+            jax.block_until_ready(fn(params, scen, inputs, rng))
+            t0 = _time.perf_counter()
+            outs = [fn(params, scen, inputs, rng) for _ in range(n_rep)]
+            for o in outs:
+                jax.block_until_ready(o)
+            table[A] = (_time.perf_counter() - t0) / n_rep * 1e3
+        self.bucket_cost_ms = table
+        return table
 
     def _get(self, A: int, P: int):
         key = (A, P)
@@ -187,7 +234,8 @@ class RolloutServer:
         inputs = build(scen, rng if input_rng is None else input_rng)
         out = fn(params, scen, inputs, rng)
         if perm is not None:
-            out = dict(out, slot_perm=self._perm_out(perm, A))
+            n_live = int(np.asarray(scenario.agents.slot_mask).sum())
+            out = dict(out, slot_perm=self._perm_out(perm, A, n_live))
         return out
 
     def _maybe_compact(self, scenario: Scenario):
@@ -196,9 +244,13 @@ class RolloutServer:
         return compact_scenario(scenario)
 
     @staticmethod
-    def _perm_out(perm: np.ndarray, A: int) -> np.ndarray:
+    def _perm_out(perm: np.ndarray, A: int, n_live: int) -> np.ndarray:
+        """slot_perm[i] = original row of compacted row i for LIVE rows only;
+        -1 beyond the live count (ADVICE r4: compact_scenario's full
+        permutation places dead original slots inside the bucket — emitting
+        those as non-negative would mis-attribute padded/inserted rows)."""
         out = np.full((A,), -1, np.int64)
-        n = min(A, perm.shape[0])
+        n = min(A, perm.shape[0], n_live)
         out[:n] = perm[:n]
         return out
 
@@ -271,6 +323,9 @@ class RolloutServer:
             for j, i in enumerate(idxs):
                 res = jax.tree.map(lambda x, j=j: x[j], out)
                 if perms[i] is not None:
-                    res = dict(res, slot_perm=self._perm_out(perms[i], A))
+                    n_live = int(np.asarray(
+                        scenarios[i].agents.slot_mask).sum())
+                    res = dict(res, slot_perm=self._perm_out(perms[i], A,
+                                                             n_live))
                 results[i] = res
         return results

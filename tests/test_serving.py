@@ -92,6 +92,42 @@ def test_bucket_selection():
     assert srv_big.bucket_for(scen)[0] == 16
 
 
+def test_bucket_selection_measured_costs():
+    """With a measured bucket_cost_ms table, bucket_for picks the cheapest
+    FEASIBLE bucket and breaks near-ties (<=3%) toward the larger capacity
+    (VERDICT r4 item 2: capacity-order picking chose A=96 on v5e and lost
+    to A=128 because the agent axis rides the 128-lane dim)."""
+    cfg, tr, scen, _ = _setup()   # 6 live agents
+    mk = lambda costs, headroom=2: RolloutServer(
+        cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+        agent_buckets=(8, 12, 16), agent_headroom=headroom,
+        bucket_cost_ms=costs)
+    # cheapest feasible wins outright
+    assert mk({8: 5.0, 12: 10.0, 16: 10.1}).bucket_for(scen)[0] == 8
+    # near-tie between 12 and 16 (the v5e A=96-vs-128 shape, 8 infeasible
+    # at headroom 4: 6+4 needs >= 10): take the larger capacity
+    assert mk({8: 1.0, 12: 6.0, 16: 6.05},
+              headroom=4).bucket_for(scen)[0] == 16
+    # genuinely cheaper mid bucket wins
+    assert mk({8: 1.0, 12: 6.0, 16: 10.0},
+              headroom=4).bucket_for(scen)[0] == 12
+    # incomplete table falls back to capacity order
+    assert mk({16: 1.0}).bucket_for(scen)[0] == 8
+
+
+def test_calibrate_installs_cost_table():
+    cfg, tr, scen, state = _setup()
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(8, 16), agent_headroom=0,
+                        num_recurrent_steps=4)
+    table = srv.calibrate(state.params, scen, n_rep=1)
+    assert set(table) == {8, 16}
+    assert all(v > 0 for v in table.values())
+    assert srv.bucket_cost_ms == table
+    A, _ = srv.bucket_for(scen)
+    assert A in (8, 16)
+
+
 def test_batched_dispatch_matches_single():
     """rollout_batch groups by bucket + pads to power-of-two batches; every
     scenario must reproduce its single-dispatch result exactly."""
