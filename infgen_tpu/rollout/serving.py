@@ -276,7 +276,8 @@ class RolloutServer:
         return self._fns[key]
 
     def rollout_batch(self, params, scenarios: Sequence[Scenario], rngs,
-                      input_rngs=None) -> list:
+                      input_rngs=None, max_batch: Optional[int] = None,
+                      order_by_occupancy: bool = False) -> list:
         """Batched dispatch: group scenarios by capacity bucket, run each
         group through a vmapped executable at the next batch-size bucket
         (powers of two, so compile count stays bounded), and return one
@@ -285,6 +286,16 @@ class RolloutServer:
         `rngs` is either one PRNGKey (split per scenario) or a sequence of
         per-scenario keys. Tail slots of a padded batch re-run the group's
         last scenario and are discarded.
+
+        `max_batch` chunks each bucket group into sub-batches of at most
+        that many scenarios. With `order_by_occupancy`, group members are
+        sorted by live-agent count (descending) first, so each sub-batch is
+        homogeneous in FREE-slot count — the proxy for insertion activity.
+        The per-step insertion `while_loop` runs until every vmapped lane
+        stops inserting, so one insertion-heavy scene stalls its whole
+        sub-batch; homogeneous sub-batches keep the stragglers together
+        instead of spreading them across every dispatch (VERDICT r4 item 6;
+        reference insertion loop agent_decoder.py:1773-2105).
         """
         from infgen_tpu.train.train_step import stack_scenarios
 
@@ -312,20 +323,26 @@ class RolloutServer:
 
         results: list = [None] * n
         for (A, P), idxs in groups.items():
-            B = 1 << (len(idxs) - 1).bit_length()   # next power of two
-            fn, build = self._get_batched(A, P, B)
-            pad = idxs + [idxs[-1]] * (B - len(idxs))
-            batch = stack_scenarios(
-                [repad_scenario(scenarios[i], A, P) for i in pad])
-            r = jnp.stack([rngs[i] for i in pad])
-            ir = jnp.stack([input_rngs[i] for i in pad])
-            out = fn(params, batch, build(batch, ir), r)
-            for j, i in enumerate(idxs):
-                res = jax.tree.map(lambda x, j=j: x[j], out)
-                if perms[i] is not None:
-                    n_live = int(np.asarray(
-                        scenarios[i].agents.slot_mask).sum())
-                    res = dict(res, slot_perm=self._perm_out(perms[i], A,
-                                                             n_live))
-                results[i] = res
+            if order_by_occupancy:
+                idxs = sorted(idxs, key=lambda i: -int(
+                    np.asarray(scenarios[i].agents.slot_mask).sum()))
+            chunk = max_batch or len(idxs)
+            for lo in range(0, len(idxs), chunk):
+                sub = idxs[lo:lo + chunk]
+                B = 1 << (len(sub) - 1).bit_length()   # next power of two
+                fn, build = self._get_batched(A, P, B)
+                pad = sub + [sub[-1]] * (B - len(sub))
+                batch = stack_scenarios(
+                    [repad_scenario(scenarios[i], A, P) for i in pad])
+                r = jnp.stack([rngs[i] for i in pad])
+                ir = jnp.stack([input_rngs[i] for i in pad])
+                out = fn(params, batch, build(batch, ir), r)
+                for j, i in enumerate(sub):
+                    res = jax.tree.map(lambda x, j=j: x[j], out)
+                    if perms[i] is not None:
+                        n_live = int(np.asarray(
+                            scenarios[i].agents.slot_mask).sum())
+                        res = dict(res, slot_perm=self._perm_out(
+                            perms[i], A, n_live))
+                    results[i] = res
         return results

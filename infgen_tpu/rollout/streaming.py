@@ -99,101 +99,88 @@ def continuation_scenario(prev: Scenario, out: Dict, num_historical_steps: int
                     scenario_id=prev.scenario_id)
 
 
-class StreamingRollout:
-    """Drive an unbounded-horizon simulation through a RolloutServer.
+class _ScenarioStream:
+    """Host-side per-scenario registry across segments: every agent that
+    ever lived gets a stable global id (gid); per-segment bucket rows are
+    mapped back through the compaction permutations."""
 
-    Keeps a host-side global agent registry across segments: every agent
-    that ever lived gets a stable global id (gid); per-segment bucket rows
-    are mapped back through the compaction permutations. Results are
-    numpy arrays over [G, F] (G = agents ever alive, F = 10 Hz frames).
-    """
+    def __init__(self, scenario: Scenario, Hs: int):
+        self.scen = scenario
+        self.Hs = Hs
+        self.traj_all: list = []
+        self.head_all: list = []
+        self.state_all: list = []                           # [G, F] growing
+        self.gid_type: list = []
+        self.gid_shape: list = []
+        self.slot2gid: Optional[np.ndarray] = None          # row -> gid
+        self.av_gid = None
+        self.per_segment: list = []
+        self._scen_c: Optional[Scenario] = None
 
-    def __init__(self, server: RolloutServer, segment_steps: int):
-        if server.num_recurrent_steps not in (None, segment_steps):
-            raise ValueError("server.num_recurrent_steps must match "
-                             "segment_steps")
-        self.server = server
-        if server.num_recurrent_steps is None:
-            server.num_recurrent_steps = segment_steps
-        self.R = segment_steps
-        self.Hs = server.cfg.num_historical_steps
+    def begin_segment(self) -> Scenario:
+        # compact live rows into a prefix so bucket_for can shrink; the
+        # server then re-pads to its bucket without reordering rows
+        scen_c, perm = compact_scenario(self.scen)
+        if self.slot2gid is None:
+            # first segment: every compacted live row is a new gid
+            n_live = int(np.asarray(scen_c.agents.slot_mask).sum())
+            self.slot2gid = np.full((perm.shape[0],), -1, np.int64)
+            self.slot2gid[:n_live] = np.arange(n_live)
+            self.gid_type = list(np.asarray(scen_c.agents.type)[:n_live])
+            self.gid_shape = list(np.asarray(scen_c.agents.shape)[:n_live])
+        else:
+            self.slot2gid = self.slot2gid[perm]
+        self.av_gid = int(
+            self.slot2gid[int(np.asarray(scen_c.agents.av_index))])
+        assert self.av_gid >= 0
+        self._scen_c = scen_c
+        return scen_c
 
-    def run(self, params, scenario: Scenario, rng, total_steps: int) -> Dict:
-        """Simulate >= total_steps future 10 Hz frames (rounded up to whole
-        segments). Returns the stitched global registry."""
-        Hs, R = self.Hs, self.R
-        n_seg = -(-total_steps // R)
+    def absorb(self, out: Dict, seg: int) -> None:
+        Hs = self.Hs
+        out = {k: np.asarray(v) for k, v in out.items()}
+        A_b = out["pred_traj"].shape[0]
+        # bucket rows beyond the previous capacity start unmapped
+        row2gid = np.full((A_b,), -1, np.int64)
+        n_map = min(A_b, self.slot2gid.shape[0])
+        row2gid[:n_map] = self.slot2gid[:n_map]
 
-        traj_all, head_all, state_all = [], [], []          # [G, F] growing
-        gid_type: list = []
-        gid_shape: list = []
-        slot2gid: Optional[np.ndarray] = None               # row -> gid
-        av_gid = None
-        per_segment = []
-        scen = scenario
+        # newly-activated slots this segment -> fresh gids
+        active = out["slot_active"]
+        for r in np.nonzero(active & (row2gid < 0))[0]:
+            row2gid[r] = len(self.gid_type)
+            self.gid_type.append(int(out["pred_type"][r]))
+            self.gid_shape.append(np.asarray(out["pred_shape"][r]))
 
-        for seg in range(n_seg):
-            rng, seg_rng = jax.random.split(rng)
-            # compact live rows into a prefix so bucket_for can shrink; the
-            # server then re-pads to its bucket without reordering rows
-            scen_c, perm = compact_scenario(scen)
-            if slot2gid is None:
-                # first segment: every compacted live row is a new gid
-                n_live = int(np.asarray(scen_c.agents.slot_mask).sum())
-                slot2gid = np.full((perm.shape[0],), -1, np.int64)
-                slot2gid[:n_live] = np.arange(n_live)
-                gid_type = list(np.asarray(scen_c.agents.type)[:n_live])
-                gid_shape = list(np.asarray(scen_c.agents.shape)[:n_live])
-            else:
-                slot2gid = slot2gid[perm]
-            av_gid = int(slot2gid[int(np.asarray(scen_c.agents.av_index))])
-            assert av_gid >= 0
+        # frames to append: the whole Hs+R span for segment 0, only the
+        # R generated frames afterwards (the first Hs re-derive the
+        # previous segment's tail)
+        lo = 0 if seg == 0 else Hs
+        F_new = out["pred_traj"].shape[1] - lo
+        G = len(self.gid_type)
+        rows = np.nonzero(row2gid >= 0)[0]
+        t = np.zeros((G, F_new, 2), np.float32)
+        h = np.zeros((G, F_new), np.float32)
+        s = np.full((G, F_new), INVALID_STATE, out["pred_state"].dtype)
+        t[row2gid[rows]] = out["pred_traj"][rows, lo:]
+        h[row2gid[rows]] = out["pred_head"][rows, lo:]
+        s[row2gid[rows]] = out["pred_state"][rows, lo:]
+        self.traj_all.append(t)
+        self.head_all.append(h)
+        self.state_all.append(s)
+        self.per_segment.append(dict(
+            bucket=A_b, n_alive=int(active.sum()),
+            n_inserted=int(out["n_inserted"])))
 
-            out = self.server.rollout(params, scen_c, seg_rng,
-                                      input_rng=seg_rng)
-            out = {k: np.asarray(v) for k, v in out.items()}
-            A_b = out["pred_traj"].shape[0]
-            # bucket rows beyond the previous capacity start unmapped
-            row2gid = np.full((A_b,), -1, np.int64)
-            n_map = min(A_b, slot2gid.shape[0])
-            row2gid[:n_map] = slot2gid[:n_map]
+        self.scen = continuation_scenario(self._scen_c, out, Hs)
+        # rows that did not survive the boundary lose their gid: their
+        # slot may be recycled by a later insertion, which must become a
+        # NEW agent, not a resurrection of the dead gid
+        self.slot2gid = np.where(np.asarray(self.scen.agents.slot_mask),
+                                 row2gid, -1)
 
-            # newly-activated slots this segment -> fresh gids
-            active = out["slot_active"]
-            for r in np.nonzero(active & (row2gid < 0))[0]:
-                row2gid[r] = len(gid_type)
-                gid_type.append(int(out["pred_type"][r]))
-                gid_shape.append(np.asarray(out["pred_shape"][r]))
-
-            # frames to append: the whole Hs+R span for segment 0, only the
-            # R generated frames afterwards (the first Hs re-derive the
-            # previous segment's tail)
-            lo = 0 if seg == 0 else Hs
-            F_new = out["pred_traj"].shape[1] - lo
-            G = len(gid_type)
-            rows = np.nonzero(row2gid >= 0)[0]
-            t = np.zeros((G, F_new, 2), np.float32)
-            h = np.zeros((G, F_new), np.float32)
-            s = np.full((G, F_new), INVALID_STATE,
-                        out["pred_state"].dtype)
-            t[row2gid[rows]] = out["pred_traj"][rows, lo:]
-            h[row2gid[rows]] = out["pred_head"][rows, lo:]
-            s[row2gid[rows]] = out["pred_state"][rows, lo:]
-            traj_all.append(t)
-            head_all.append(h)
-            state_all.append(s)
-            per_segment.append(dict(
-                bucket=A_b, n_alive=int(active.sum()),
-                n_inserted=int(out["n_inserted"])))
-
-            scen = continuation_scenario(scen_c, out, Hs)
-            # rows that did not survive the boundary lose their gid: their
-            # slot may be recycled by a later insertion, which must become a
-            # NEW agent, not a resurrection of the dead gid
-            slot2gid = np.where(np.asarray(scen.agents.slot_mask),
-                                row2gid, -1)
-
-        G = len(gid_type)
+    def result(self, n_seg: int, R: int) -> Dict:
+        G = len(self.gid_type)
 
         def cat(bufs, fill):
             """Stitch per-segment [G_seg, F] blocks over a common G rows
@@ -209,12 +196,71 @@ class StreamingRollout:
             return np.concatenate(out_, axis=1)
 
         return dict(
-            traj=cat(traj_all, 0.0),
-            head=cat(head_all, 0.0),
-            state=cat(state_all, INVALID_STATE),
-            type=np.asarray(gid_type, np.int32),
-            shape=np.asarray(gid_shape, np.float32),
-            av_gid=av_gid,
-            segments=per_segment,
-            frames_per_segment=[Hs + R] + [R] * (n_seg - 1),
+            traj=cat(self.traj_all, 0.0),
+            head=cat(self.head_all, 0.0),
+            state=cat(self.state_all, INVALID_STATE),
+            type=np.asarray(self.gid_type, np.int32),
+            shape=np.asarray(self.gid_shape, np.float32),
+            av_gid=self.av_gid,
+            segments=self.per_segment,
+            frames_per_segment=[self.Hs + R] + [R] * (n_seg - 1),
         )
+
+
+class StreamingRollout:
+    """Drive an unbounded-horizon simulation through a RolloutServer.
+
+    `run` streams one scenario through the server's single-scenario
+    executables; `run_batch` streams MANY scenarios concurrently — each
+    segment is dispatched through `RolloutServer.rollout_batch`, so
+    scenarios sharing a capacity bucket run vmapped on one executable and
+    scenarios re-bucket independently as their live-agent count drifts.
+    That is the TPU-native throughput story for long horizons: after the
+    first segments a trained model's scenes compact below A=128 and the
+    fleet migrates to cheaper buckets (the reference's loop instead grows
+    python state without bound, agent_decoder.py:1920-1999).
+
+    Results are numpy arrays over [G, F] (G = agents ever alive,
+    F = 10 Hz frames).
+    """
+
+    def __init__(self, server: RolloutServer, segment_steps: int):
+        if server.num_recurrent_steps not in (None, segment_steps):
+            raise ValueError("server.num_recurrent_steps must match "
+                             "segment_steps")
+        self.server = server
+        if server.num_recurrent_steps is None:
+            server.num_recurrent_steps = segment_steps
+        self.R = segment_steps
+        self.Hs = server.cfg.num_historical_steps
+
+    def run(self, params, scenario: Scenario, rng, total_steps: int) -> Dict:
+        """Simulate >= total_steps future 10 Hz frames (rounded up to whole
+        segments). Returns the stitched global registry."""
+        n_seg = -(-total_steps // self.R)
+        stream = _ScenarioStream(scenario, self.Hs)
+        for seg in range(n_seg):
+            rng, seg_rng = jax.random.split(rng)
+            scen_c = stream.begin_segment()
+            out = self.server.rollout(params, scen_c, seg_rng,
+                                      input_rng=seg_rng)
+            stream.absorb(out, seg)
+        return stream.result(n_seg, self.R)
+
+    def run_batch(self, params, scenarios, rngs, total_steps: int) -> list:
+        """Stream a fleet of scenarios concurrently; one result dict per
+        scenario (same schema as `run`). `rngs` is one key per scenario."""
+        n_seg = -(-total_steps // self.R)
+        streams = [_ScenarioStream(s, self.Hs) for s in scenarios]
+        rngs = list(rngs)
+        for seg in range(n_seg):
+            seg_rngs = []
+            for i in range(len(rngs)):
+                rngs[i], k = jax.random.split(rngs[i])
+                seg_rngs.append(k)
+            scens_c = [st.begin_segment() for st in streams]
+            outs = self.server.rollout_batch(params, scens_c, seg_rngs,
+                                             input_rngs=seg_rngs)
+            for st, out in zip(streams, outs):
+                st.absorb(out, seg)
+        return [st.result(n_seg, self.R) for st in streams]

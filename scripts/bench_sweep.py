@@ -303,6 +303,111 @@ class Bench:
         print(json.dumps(rec), flush=True)
         return rec
 
+    def measure_stream(self, name, B=8, num_agents=64, total_steps=900,
+                       segment_steps=300, buckets=(32, 64, 128), reps=None,
+                       rebucket=True):
+        """Trained long-horizon streamed throughput (VERDICT r4 item 3):
+        stream a fleet of B scenarios over >= 60 s of simulated time through
+        StreamingRollout.run_batch. With `rebucket`, exited agents' slots are
+        compacted between segments and scenes migrate to smaller capacity
+        buckets as the trained model moderates occupancy; the control
+        (rebucket=False) streams the same protocol pinned at A=max (the
+        static program's capacity — what a non-re-bucketing runtime pays).
+        The numerator is active agent-steps from the stitched states, so
+        capacity caps are priced in, not hidden.
+        """
+        from infgen_tpu.config import INVALID_STATE
+        from infgen_tpu.rollout.serving import RolloutServer
+        from infgen_tpu.rollout.streaming import StreamingRollout
+        cfg = self.cfg
+        reps = reps or max(2, self.reps // 5)
+        scens, _ = self.scenes(B, num_agents)
+        params = jax.device_put(self.trained_params())
+        jax.block_until_ready(params)
+        Hs = cfg.num_historical_steps
+        srv = RolloutServer(
+            cfg, self.attr, self.mt, self.map_vocab,
+            agent_buckets=tuple(buckets) if rebucket else (cfg.max_agents,),
+            agent_headroom=8, num_recurrent_steps=segment_steps)
+        stream = StreamingRollout(srv, segment_steps=segment_steps)
+
+        def once(seed):
+            return stream.run_batch(
+                params, scens,
+                list(jax.random.split(jax.random.PRNGKey(seed), B)),
+                total_steps=total_steps)
+
+        results = once(0)                      # compile all bucket programs
+        t0 = time.perf_counter()
+        for i in range(reps):
+            results = once(10 + i)
+        dt = (time.perf_counter() - t0) / reps
+        asteps = float(np.sum([(r["state"][:, Hs:] != INVALID_STATE).sum()
+                               for r in results]))
+        rec = {
+            "exp": name, "B": B, "total_steps": total_steps,
+            "segment_steps": segment_steps, "rebucket": rebucket,
+            "agent_steps_per_sec": round(asteps / dt, 1),
+            "dt_s": round(dt, 3),
+            "asteps": round(asteps, 0),
+            "segment_buckets": [s["bucket"]
+                                for s in results[0]["segments"]],
+            "n_alive_per_segment": [s["n_alive"]
+                                    for s in results[0]["segments"]],
+            "reps": reps, "trained": True,
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
+    def measure_homog(self, name, max_batch=8, ordered=True, per_size=8,
+                      sizes=(16, 48, 80, 112), reps=None):
+        """Insertion-homogeneous batching A/B (VERDICT r4 item 6): scenes of
+        mixed occupancy all run the FULL A=128 program (single bucket, so
+        bucket wins can't confound), chunked into vmapped sub-batches of
+        `max_batch`. ordered=True sorts lanes by live count so each
+        sub-batch is homogeneous in free slots (the insertion while_loop
+        runs to the slowest lane); ordered=False interleaves sizes —
+        the adversarial ordering a naive queue produces.
+        """
+        from infgen_tpu.rollout.serving import RolloutServer
+        cfg = self.cfg
+        reps = reps or max(2, self.reps // 3)
+        scens = []
+        # round-robin over sizes = maximally heterogeneous arrival order
+        for s in range(per_size):
+            for na in sizes:
+                scens.append(make_synthetic_scenario(
+                    cfg, seed=1000 * na + s, num_agents=na))
+        n = len(scens)
+        params = jax.device_put(self.trained_params())
+        jax.block_until_ready(params)
+        Hs = cfg.num_historical_steps
+        srv = RolloutServer(cfg, self.attr, self.mt, self.map_vocab,
+                            agent_buckets=(cfg.max_agents,))
+
+        def once(seed):
+            return srv.rollout_batch(
+                params, scens, jax.random.split(jax.random.PRNGKey(seed), n),
+                max_batch=max_batch, order_by_occupancy=ordered)
+
+        outs = once(0)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            outs = once(10 + i)
+            for o in outs:
+                float(np.asarray(o["pred_traj"]).sum())
+        dt = (time.perf_counter() - t0) / reps
+        asteps = float(np.sum([
+            (np.asarray(o["pred_state"])[:, Hs:] != 0).sum() for o in outs]))
+        rec = {
+            "exp": name, "n_scenarios": n, "max_batch": max_batch,
+            "ordered": ordered, "sizes": list(sizes),
+            "agent_steps_per_sec": round(asteps / dt, 1),
+            "dt_s": round(dt, 3), "reps": reps, "trained": True,
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
     def measure_train(self, name, batch_size=2, steps=30, remat=None,
                       reps=None):
         """Train-step throughput at a given global batch size (one chip:
@@ -480,6 +585,28 @@ def experiments(b):
                                                B=32, trained=True, reps=4),
         # on-device WOSAC scoring (reference: CPU process pool)
         "wosac_score": lambda: b.measure_wosac("wosac_score", B=8),
+        # trained streamed long-horizon throughput: re-bucketing fleet vs
+        # the same stream pinned at A=128 (VERDICT r4 item 3)
+        "stream_rebucket": lambda: b.measure_stream("stream_rebucket",
+                                                    rebucket=True),
+        "stream_static": lambda: b.measure_stream("stream_static",
+                                                  rebucket=False),
+        # insertion-homogeneous batching A/B at several vmap widths
+        # (VERDICT r4 item 6): ordered lanes vs interleaved arrival order
+        "homog_b8": lambda: b.measure_homog("homog_b8", max_batch=8,
+                                            ordered=True),
+        "homog_b8_shuf": lambda: b.measure_homog("homog_b8_shuf",
+                                                 max_batch=8, ordered=False),
+        "homog_b16": lambda: b.measure_homog("homog_b16", max_batch=16,
+                                             ordered=True),
+        "homog_b16_shuf": lambda: b.measure_homog("homog_b16_shuf",
+                                                  max_batch=16,
+                                                  ordered=False),
+        "homog_b32": lambda: b.measure_homog("homog_b32", max_batch=32,
+                                             ordered=True),
+        "homog_b32_shuf": lambda: b.measure_homog("homog_b32_shuf",
+                                                  max_batch=32,
+                                                  ordered=False),
         # mixed-fleet bucketed serving vs one full-capacity program
         "serving_mix": lambda: b.measure_serving_mix("serving_mix"),
         # rollout scan unroll: overlap per-step prep with the previous

@@ -97,10 +97,26 @@ def main():
         s.agents.shape[:, 0], s.agents.shape[:, 1], s.agents.slot_mask,
         s.agents.av_index, i.tokens.token_pos, i.tokens.state_idx,
         traj_z=s.agents.elevation))
-    log_dists = []
+    log_dists, gt_feats = [], []
     for i in range(B):
         f = gt_fn(scens[i], jax.tree.map(lambda x, i=i: x[i], inputs_b))
         log_dists.append(make_log_distributions(wcfg, f))
+        gt_feats.append(f)
+
+    # GT-replay ceiling (VERDICT r4 item 4): score the synthetic logs against
+    # their OWN aggregated histograms — the metametric a perfect simulator
+    # that replays the logs would get. This is the attainable upper bound on
+    # synthetic data; the model-vs-ceiling gap over the curve distinguishes
+    # "stopped learning" from "nothing left to learn". Likelihood protocol:
+    # reference compute_metrics.py:841-888.
+    score_fn0 = jax.jit(lambda ld, f: compute_scenario_metrics(wcfg, ld, f))
+    _replay = [score_fn0(log_dists[i], gt_feats[i]) for i in range(B)]
+    gt_replay = dict(
+        metametric=float(np.mean([float(m["metametric"]) for m in _replay])),
+        collision_rate=float(np.mean(
+            [float(m["simulated_collision_rate"]) for m in _replay])))
+    print(f"gt_replay ceiling: metametric={gt_replay['metametric']:.4f} "
+          f"collision_rate={gt_replay['collision_rate']:.3f}", flush=True)
 
     state = trainer.replicate_state(
         trainer.init_state(jax.random.PRNGKey(0), scens[0]))
@@ -140,9 +156,19 @@ def main():
     curve.append(dict(step=args.steps, loss=float(logs["loss"]), **after))
     best = max(curve, key=lambda r: r["metametric"])
 
+    gap = gt_replay["metametric"] - best["metametric"]
     res = dict(steps=args.steps, compute_dtype=cfg.compute_dtype,
                before=before, after=after, curve=curve,
-               best=dict(step=best["step"], metametric=best["metametric"]))
+               best=dict(step=best["step"], metametric=best["metametric"]),
+               gt_replay_metametric=gt_replay["metametric"],
+               gt_replay_collision_rate=gt_replay["collision_rate"],
+               model_vs_ceiling_gap=gap,
+               interpretation=(
+                   f"gt_replay_metametric is the score of the synthetic logs "
+                   f"against their own histograms — the ceiling any model can "
+                   f"reach on this data. Best model metametric "
+                   f"{best['metametric']:.4f} at step {best['step']} vs "
+                   f"ceiling {gt_replay['metametric']:.4f}: gap {gap:+.4f}."))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "LEARNING_DYNAMICS.json")
     with open(out, "w") as f:

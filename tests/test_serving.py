@@ -149,6 +149,26 @@ def test_batched_dispatch_matches_single():
                                    atol=1e-5)
 
 
+def test_batched_dispatch_chunked_and_ordered():
+    """max_batch chunking + occupancy ordering must not change any
+    scenario's result (same per-scenario rng and bucket; only the vmap
+    grouping differs) and results stay in input order."""
+    cfg, tr, _, state = _setup()
+    scens = [make_synthetic_scenario(cfg, seed=s, num_agents=n)
+             for s, n in [(0, 4), (1, 12), (2, 5), (3, 11), (4, 3)]]
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(16,), agent_headroom=2)
+    rngs = list(jax.random.split(jax.random.PRNGKey(7), len(scens)))
+    plain = srv.rollout_batch(state.params, scens, rngs)
+    chunked = srv.rollout_batch(state.params, scens, rngs, max_batch=2,
+                                order_by_occupancy=True)
+    for p, c in zip(plain, chunked):
+        np.testing.assert_array_equal(np.asarray(p["next_token_idx"]),
+                                      np.asarray(c["next_token_idx"]))
+        np.testing.assert_allclose(np.asarray(p["pred_traj"]),
+                                   np.asarray(c["pred_traj"]), atol=1e-5)
+
+
 def _scatter_agents(scen, slots):
     """Move the live agent rows (stable order) to the given slot indices."""
     ag = scen.agents

@@ -110,6 +110,30 @@ def test_streaming_with_insertion_invariants_and_determinism():
     assert res["segments"] == res2["segments"]
 
 
+def test_streaming_run_batch_matches_run():
+    """run_batch streams a fleet through vmapped bucket executables; each
+    scenario must reproduce its single-stream result (token decisions are
+    exact under batching, test_serving.py::test_batched_dispatch_matches_
+    single, so the stitched streams match to float tolerance)."""
+    cfg, tr, _, state = _setup(num_recurrent_steps_val=20)
+    scens = [make_synthetic_scenario(cfg, seed=s, num_agents=n)
+             for s, n in [(0, 6), (1, 12), (2, 5)]]
+    srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                        agent_buckets=(8, 16), agent_headroom=2,
+                        num_recurrent_steps=20)
+    stream = StreamingRollout(srv, segment_steps=20)
+    rngs = list(jax.random.split(jax.random.PRNGKey(9), len(scens)))
+    batch_res = stream.run_batch(state.params, scens, rngs, total_steps=40)
+    for scen, rng, rb in zip(scens, rngs, batch_res):
+        rs = stream.run(state.params, scen, rng, total_steps=40)
+        assert rb["state"].shape == rs["state"].shape
+        np.testing.assert_array_equal(rb["state"], rs["state"])
+        np.testing.assert_allclose(rb["traj"], rs["traj"], atol=1e-4)
+        assert rb["segments"] == rs["segments"]
+        assert rb["av_gid"] == rs["av_gid"]
+        assert rb["frames_per_segment"] == rs["frames_per_segment"]
+
+
 def test_continuation_scenario_semantics():
     """Slot freeing + history extraction: exited/invalid rows lose their
     slot, live rows carry exactly the last Hs frames."""
