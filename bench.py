@@ -248,6 +248,7 @@ def main():
     # insertion decisions, then rerun the SAME compiled rollout
     value_t = n_agents_t = train_steps = None
     train_ms = train_mfu = train_tokens_s = train_ms_b8 = None
+    train_batch_max = None
     if os.environ.get("INFGEN_BENCH_TRAIN", "1") not in ("", "0"):
         try:
             from infgen_tpu.train.train_step import Trainer
@@ -313,14 +314,20 @@ def main():
             except Exception as e:
                 print(f"# train MFU skipped: {e}", file=sys.stderr)
             if os.environ.get("INFGEN_BENCH_TRAIN_B8", "1") not in ("", "0"):
-                try:
-                    tb8 = trainer.shard_batch(stack_scenarios(scens))
-                    st8 = trainer.replicate_state(trainer.init_state(
-                        jax.random.PRNGKey(3), scens[0]))
-                    train_ms_b8 = time_train(tb8, st8, n_steps=6) * 1e3
-                except Exception as e:
-                    print(f"# batch-{B} train bench skipped: {e}",
-                          file=sys.stderr)
+                # largest batch that fits the 16 GB v5e HBM with remat on:
+                # batch 8 compiles to 22.5 GB (measured OOM), so walk down
+                for bb in (8, 4):
+                    try:
+                        tbb = trainer.shard_batch(
+                            stack_scenarios(scens[:bb]))
+                        stb = trainer.replicate_state(trainer.init_state(
+                            jax.random.PRNGKey(3), scens[0]))
+                        train_ms_b8 = time_train(tbb, stb, n_steps=6) * 1e3
+                        train_batch_max = bb
+                        break
+                    except Exception as e:
+                        print(f"# batch-{bb} train bench failed: "
+                              f"{str(e)[:200]}", file=sys.stderr)
         except Exception as e:
             print(f"# trained-model bench skipped: {e}", file=sys.stderr)
 
@@ -518,7 +525,10 @@ def main():
         else round(train_tokens_s, 1),
         "train_mfu_vs_bf16_peak": None if train_mfu is None
         else round(train_mfu, 5),
-        "train_step_ms_batch8": None if train_ms_b8 is None
+        # largest batch that fits HBM with remat on, and its s/step
+        # (batch 8 measured 22.5 GB > 15.75 GB on v5e; batch 4 fits)
+        "train_batch_max": train_batch_max,
+        "train_step_ms_batch_max": None if train_ms_b8 is None
         else round(train_ms_b8, 1),
         "single_rollout_ms": round(dt_one * 1e3, 1),
         "single_rollout_ms_throughput_cfg": round(dt_one_tp * 1e3, 1),
