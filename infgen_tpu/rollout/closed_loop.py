@@ -88,6 +88,9 @@ def make_rollout_fn(model, cfg: Config, attr, motion_tok, map_vocab,
     debug=True adds per-step head logits and the initial fused features to
     the output dict (parity bisection; costs HBM, keep off in production)."""
     R = num_recurrent_steps or cfg.num_recurrent_steps_val
+    assert R >= SHIFT and R % SHIFT == 0, (
+        f"num_recurrent_steps is in 10 Hz frames and must be a positive "
+        f"multiple of SHIFT={SHIFT}, got {R}")
     n_steps = R // SHIFT
     Ti = (R + cfg.num_historical_steps) // SHIFT
     H = (cfg.num_historical_steps - 1) // SHIFT          # 2 history columns

@@ -277,7 +277,7 @@ class RolloutServer:
 
     def rollout_batch(self, params, scenarios: Sequence[Scenario], rngs,
                       input_rngs=None, max_batch: Optional[int] = None,
-                      order_by_occupancy: bool = False) -> list:
+                      order_by_occupancy: bool = True) -> list:
         """Batched dispatch: group scenarios by capacity bucket, run each
         group through a vmapped executable at the next batch-size bucket
         (powers of two, so compile count stays bounded), and return one

@@ -119,7 +119,7 @@ def test_calibrate_installs_cost_table():
     cfg, tr, scen, state = _setup()
     srv = RolloutServer(cfg, tr.attr, tr.motion_tok, tr.map_vocab,
                         agent_buckets=(8, 16), agent_headroom=0,
-                        num_recurrent_steps=4)
+                        num_recurrent_steps=5)
     table = srv.calibrate(state.params, scen, n_rep=1)
     assert set(table) == {8, 16}
     assert all(v > 0 for v in table.values())
