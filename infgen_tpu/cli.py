@@ -34,6 +34,10 @@ def main(argv=None):
                                     "stream", "check-inputs", "export"])
     p.add_argument("--total_steps", type=int, default=900,
                    help="stream: total future 10 Hz frames to generate")
+    p.add_argument("--fused_stream", action="store_true",
+                   help="stream mode: run all segments as ONE compiled "
+                        "program (on-device continuation; fixed capacity, "
+                        "no re-bucketing between segments)")
     p.add_argument("--segment_steps", type=int, default=None,
                    help="stream: frames per compiled segment (default: "
                         "num_recurrent_steps_val)")
@@ -207,16 +211,31 @@ def main(argv=None):
                 state = restored
 
         seg = args.segment_steps or cfg.num_recurrent_steps_val
-        srv = RolloutServer(cfg, trainer.attr, trainer.motion_tok,
-                            trainer.map_vocab, num_recurrent_steps=seg,
-                            agent_buckets=(32, 64, cfg.max_agents))
-        stream = StreamingRollout(srv, segment_steps=seg)
+        if args.fused_stream:
+            # one compiled program for the whole horizon: on-device
+            # continuation + re-tokenization between segments, host only
+            # stitches the result (rollout/streaming.py make_stream_fn)
+            from infgen_tpu.rollout.streaming import (make_stream_fn,
+                                                      stitch_stream_outputs)
+            n_seg = -(-args.total_steps // seg)
+            stream_fn = make_stream_fn(
+                trainer.model, cfg, trainer.attr, trainer.motion_tok,
+                trainer.map_vocab, segment_steps=seg, n_segments=n_seg)
+            run_one = lambda scen, rng: stitch_stream_outputs(
+                jax.device_get(stream_fn(state.params, scen, rng)),
+                cfg.num_historical_steps)
+        else:
+            srv = RolloutServer(cfg, trainer.attr, trainer.motion_tok,
+                                trainer.map_vocab, num_recurrent_steps=seg,
+                                agent_buckets=(32, 64, cfg.max_agents))
+            stream = StreamingRollout(srv, segment_steps=seg)
+            run_one = lambda scen, rng: stream.run(
+                state.params, scen, rng, total_steps=args.total_steps)
         os.makedirs(args.save_dir, exist_ok=True)
         for i in range(min(args.num_scenarios, len(dataset))):
-            res = stream.run(state.params, dataset[i],
-                             jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
-                                                i),
-                             total_steps=args.total_steps)
+            res = run_one(dataset[i],
+                          jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                             i))
             G, F = res["state"].shape
             path = os.path.join(args.save_dir, f"stream_{i:06d}.npz")
             # scalars/lists too (ADVICE r4): without av_gid and the segment

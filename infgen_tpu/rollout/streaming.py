@@ -28,6 +28,7 @@ history stitching at :2311-2335).
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from infgen_tpu.config import (ENTER_STATE, EXIT_STATE, INVALID_STATE,
@@ -264,3 +265,191 @@ class StreamingRollout:
             for st, out in zip(streams, outs):
                 st.absorb(out, seg)
         return [st.result(n_seg, self.R) for st in streams]
+
+
+# --------------------------------------------------------------------- #
+# Fused on-device streaming: the whole multi-segment stream is ONE
+# compiled program (outer lax.scan over segments). The host-loop path
+# above round-trips every segment through the host — rollout outputs
+# down, continuation scenario + re-tokenized inputs back up — which on a
+# remote-TPU relay costs seconds per boundary. Here the continuation
+# (jnp twin of `continuation_scenario`) and the input chain
+# (`build_model_inputs`: motion re-tokenization, enterings, map masks)
+# run on device inside the same jit, so a B-scenario fleet streams an
+# arbitrary number of segments in a single dispatch per chunk. Slots are
+# NOT compacted inside a chunk (row identity is stable; freed slots are
+# re-activated in place by later insertions), so re-bucketing to a
+# smaller capacity happens at chunk boundaries via the host path.
+# Reference context: the reference's python loop grows state without
+# bound and cannot be compiled at all (agent_decoder.py:1605-2389).
+# --------------------------------------------------------------------- #
+
+
+def continuation_device(prev: Scenario, out: Dict,
+                        num_historical_steps: int) -> Scenario:
+    """jnp twin of `continuation_scenario` (bitwise-equal arrays; tested in
+    tests/test_streaming.py). Requires out's capacity == prev's capacity."""
+    Hs = num_historical_steps
+    traj = out["pred_traj"][:, -Hs:]
+    head = out["pred_head"][:, -Hs:]
+    state = out["pred_state"][:, -Hs:]
+    active = out["slot_active"]
+    A = traj.shape[0]
+
+    valid = (state != INVALID_STATE) & active[:, None]
+    alive = active & (state[:, -1] != INVALID_STATE) \
+        & (state[:, -1] != EXIT_STATE)
+    av = out["av_index"]
+    alive = alive.at[av].set(True)                      # ego never exits
+
+    diff = (traj[:, 1:] - traj[:, :-1]) * 10.0
+    vel = jnp.concatenate([diff[:, :1], diff], axis=1)
+    po = valid[:, 1:] & valid[:, :-1]
+    pair_ok = jnp.concatenate([po[:, :1], po], axis=1)
+    vel = jnp.where(pair_ok[:, :, None], vel, 0.0)
+
+    prev_elev = prev.agents.elevation
+    pv = prev.agents.valid
+    has = pv.any(axis=1)
+    idx = jnp.where(has, pv.shape[1] - 1 - jnp.argmax(pv[:, ::-1], axis=1), 0)
+    last_z = jnp.where(
+        has, jnp.take_along_axis(prev_elev, idx[:, None], axis=1)[:, 0], 0.0)
+    elev = jnp.broadcast_to(last_z[:, None], (A, Hs))
+
+    agents = AgentData(
+        valid=valid & alive[:, None],
+        position=jnp.where(valid[:, :, None], traj, 0.0).astype(jnp.float32),
+        elevation=elev.astype(jnp.float32),
+        heading=jnp.where(valid, head, 0.0).astype(jnp.float32),
+        velocity=vel.astype(jnp.float32),
+        shape=out["pred_shape"].astype(jnp.float32),
+        type=out["pred_type"].astype(jnp.int32),
+        slot_mask=alive,
+        train_mask=alive,
+        av_index=jnp.asarray(av, jnp.int32),
+    )
+    return Scenario(agents=agents, map=prev.map,
+                    scenario_id=prev.scenario_id)
+
+
+_STREAM_KEYS = ("pred_traj", "pred_head", "pred_state", "slot_active",
+                "pred_type", "pred_shape", "n_inserted")
+
+
+def make_stream_fn(model, cfg, attr, motion_tok, map_vocab,
+                   segment_steps: int, n_segments: int, jit: bool = True):
+    """Build `stream(params, scenario, rng) -> dict` running `n_segments`
+    closed-loop segments of `segment_steps` 10 Hz frames as ONE program.
+
+    Per-segment key schedule matches the host loop (`StreamingRollout.run`
+    without compaction): `rng, k = split(rng)`; `k` drives both the input
+    build and the rollout. Returns stacked outputs — pred_traj
+    [S, A, Hs+R, 2], pred_head/pred_state [S, A, Hs+R], slot_active /
+    pred_type [S, A], pred_shape [S, A, 3], n_inserted [S], av_index [] —
+    feed to `stitch_stream_outputs` for the global agent registry.
+    vmap-compatible over (scenario, rng) for fleet streaming."""
+    from infgen_tpu.data.features import build_model_inputs
+    from infgen_tpu.rollout.closed_loop import make_rollout_fn
+    Hs = cfg.num_historical_steps
+    roll = make_rollout_fn(model, cfg, attr, motion_tok, map_vocab,
+                           num_recurrent_steps=segment_steps, jit=False)
+
+    def _seg(params, scen, rng):
+        rng, k = jax.random.split(rng)
+        inputs = build_model_inputs(cfg, motion_tok, attr, scen, k)
+        out = roll(params, scen, inputs, k)
+        nxt = continuation_device(scen, out, Hs)
+        return nxt, {key: out[key] for key in _STREAM_KEYS}, \
+            out["av_index"], rng
+
+    def stream(params, scenario, rng):
+        # segment 0 is unrolled OUTSIDE the scan: it consumes the original
+        # scenario (full logged [A, T10] history), while segments 1+ carry
+        # the fixed [A, Hs] continuation shape through the scan
+        scen1, out0, av, rng = _seg(params, scenario, rng)
+        if n_segments > 1:
+            def body(carry, _):
+                scen, r = carry
+                nxt, o, _, r = _seg(params, scen, r)
+                return (nxt, r), o
+            _, outs = jax.lax.scan(body, (scen1, rng), None,
+                                   length=n_segments - 1)
+            stacked = jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                out0, outs)
+        else:
+            stacked = jax.tree.map(lambda a: a[None], out0)
+        stacked["av_index"] = av
+        return stacked
+
+    return jax.jit(stream) if jit else stream
+
+
+def stitch_stream_outputs(stacked: Dict, num_historical_steps: int) -> Dict:
+    """Host-side global agent registry for `make_stream_fn` outputs (same
+    result schema as `StreamingRollout.run`). Rows are slot-stable across
+    segments (no compaction inside a fused chunk); a freed slot re-activated
+    by a later insertion becomes a NEW agent, mirroring the host path's
+    gid-loss rule at segment boundaries."""
+    Hs = num_historical_steps
+    stacked = {k: np.asarray(v) for k, v in stacked.items()}
+    state = stacked["pred_state"]
+    S, A, F = state.shape
+    R = F - Hs
+    av = int(stacked["av_index"])
+
+    row2gid = np.full((A,), -1, np.int64)
+    gid_type: list = []
+    gid_shape: list = []
+    traj_all, head_all, state_all, per_segment = [], [], [], []
+    av_gid = None
+    for seg in range(S):
+        active = stacked["slot_active"][seg]
+        for r in np.nonzero(active & (row2gid < 0))[0]:
+            row2gid[r] = len(gid_type)
+            gid_type.append(int(stacked["pred_type"][seg][r]))
+            gid_shape.append(np.asarray(stacked["pred_shape"][seg][r]))
+        if av_gid is None:
+            av_gid = int(row2gid[av])
+            assert av_gid >= 0
+        lo = 0 if seg == 0 else Hs
+        G = len(gid_type)
+        rows = np.nonzero(row2gid >= 0)[0]
+        t = np.zeros((G, F - lo, 2), np.float32)
+        h = np.zeros((G, F - lo), np.float32)
+        s = np.full((G, F - lo), INVALID_STATE, state.dtype)
+        t[row2gid[rows]] = stacked["pred_traj"][seg][rows, lo:]
+        h[row2gid[rows]] = stacked["pred_head"][seg][rows, lo:]
+        s[row2gid[rows]] = state[seg][rows, lo:]
+        traj_all.append(t)
+        head_all.append(h)
+        state_all.append(s)
+        per_segment.append(dict(bucket=A, n_alive=int(active.sum()),
+                                n_inserted=int(stacked["n_inserted"][seg])))
+        # survival across the boundary: mirror continuation_device's alive
+        alive = active & (state[seg][:, -1] != INVALID_STATE) \
+            & (state[seg][:, -1] != EXIT_STATE)
+        alive[av] = True
+        row2gid = np.where(alive, row2gid, -1)
+
+    G = len(gid_type)
+
+    def cat(bufs, fill):
+        out_ = []
+        for b in bufs:
+            if b.shape[0] < G:
+                pad = np.full((G - b.shape[0],) + b.shape[1:], fill, b.dtype)
+                b = np.concatenate([b, pad], axis=0)
+            out_.append(b)
+        return np.concatenate(out_, axis=1)
+
+    return dict(
+        traj=cat(traj_all, 0.0),
+        head=cat(head_all, 0.0),
+        state=cat(state_all, INVALID_STATE),
+        type=np.asarray(gid_type, np.int32),
+        shape=np.asarray(gid_shape, np.float32),
+        av_gid=av_gid,
+        segments=per_segment,
+        frames_per_segment=[Hs + R] + [R] * (S - 1),
+    )

@@ -165,3 +165,113 @@ def test_continuation_scenario_semantics():
     v = np.asarray(nxt.agents.velocity)[av, 5]
     d = (out["pred_traj"][av, -Hs + 5] - out["pred_traj"][av, -Hs + 4]) * 10
     np.testing.assert_allclose(v, d, atol=1e-5)
+
+
+def test_continuation_device_matches_host():
+    """continuation_device is the jnp twin of continuation_scenario: every
+    agent-field array must be bitwise-equal for the same rollout output."""
+    from infgen_tpu.rollout.streaming import continuation_device
+    cfg, tr, scen, state = _setup(num_recurrent_steps_val=20)
+    Hs = cfg.num_historical_steps
+    fn = make_rollout_fn(tr.model, cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+                         jit=True)
+    rng = jax.random.PRNGKey(2)
+    inputs = jax.jit(lambda s, r: build_model_inputs(
+        cfg, tr.motion_tok, tr.attr, s, r))(scen, rng)
+    out = jax.device_get(fn(state.params, scen, inputs, rng))
+
+    host = continuation_scenario(scen, out, Hs)
+    dev = jax.device_get(jax.jit(
+        lambda s, o: continuation_device(s, o, Hs))(scen, out))
+    for field in host.agents._fields:
+        a = np.asarray(getattr(host.agents, field))
+        b = np.asarray(getattr(dev.agents, field))
+        np.testing.assert_array_equal(a, b, err_msg=field)
+
+
+def test_fused_stream_matches_host_loop():
+    """make_stream_fn (one compiled program for all segments) must
+    reproduce the segment-by-segment host loop with the same key schedule
+    and no compaction: integer decisions exactly, floats to tolerance."""
+    from infgen_tpu.rollout.streaming import make_stream_fn
+    cfg, tr, scen, state = _setup(num_recurrent_steps_val=20)
+    Hs = cfg.num_historical_steps
+    R = 20
+    n_seg = 3
+
+    stream_fn = make_stream_fn(tr.model, cfg, tr.attr, tr.motion_tok,
+                               tr.map_vocab, segment_steps=R,
+                               n_segments=n_seg)
+    stacked = jax.device_get(
+        stream_fn(state.params, scen, jax.random.PRNGKey(11)))
+    assert stacked["pred_state"].shape == (n_seg, cfg.max_agents, Hs + R)
+
+    # host reference loop: same per-segment split(rng) schedule, device
+    # continuation replaced by the numpy twin, NO compaction
+    roll = make_rollout_fn(tr.model, cfg, tr.attr, tr.motion_tok,
+                           tr.map_vocab, num_recurrent_steps=R, jit=True)
+    build = jax.jit(lambda s, r: build_model_inputs(
+        cfg, tr.motion_tok, tr.attr, s, r))
+    rng = jax.random.PRNGKey(11)
+    cur = scen
+    for seg in range(n_seg):
+        rng, k = jax.random.split(rng)
+        out = jax.device_get(roll(state.params, cur, build(cur, k), k))
+        np.testing.assert_array_equal(stacked["pred_state"][seg],
+                                      out["pred_state"], err_msg=f"seg{seg}")
+        np.testing.assert_array_equal(stacked["slot_active"][seg],
+                                      out["slot_active"])
+        np.testing.assert_array_equal(stacked["pred_type"][seg],
+                                      out["pred_type"])
+        assert int(stacked["n_inserted"][seg]) == int(out["n_inserted"])
+        np.testing.assert_allclose(stacked["pred_traj"][seg],
+                                   out["pred_traj"], atol=1e-4)
+        cur = continuation_scenario(cur, out, Hs)
+
+
+def test_fused_stream_stitch_and_vmap():
+    """stitch_stream_outputs produces the StreamingRollout.run result
+    schema with the same invariants; the stream fn vmaps over a fleet."""
+    from infgen_tpu.rollout.streaming import (make_stream_fn,
+                                              stitch_stream_outputs)
+    cfg, tr, scen, state = _setup(num_recurrent_steps_val=20)
+    Hs = cfg.num_historical_steps
+    stream_fn = make_stream_fn(tr.model, cfg, tr.attr, tr.motion_tok,
+                               tr.map_vocab, segment_steps=20, n_segments=3)
+    res = stitch_stream_outputs(
+        stream_fn(state.params, scen, jax.random.PRNGKey(4)), Hs)
+
+    G, F = res["state"].shape
+    assert F == Hs + 60 and len(res["segments"]) == 3
+    assert res["frames_per_segment"] == [Hs + 20, 20, 20]
+    assert res["traj"].shape == (G, F, 2)
+    assert np.isfinite(res["traj"]).all()
+    assert (res["state"][res["av_gid"], 2:] != INVALID_STATE).all()
+    # an agent dead at a segment boundary never reappears (slot reuse
+    # becomes a new gid)
+    bounds = np.cumsum(res["frames_per_segment"])
+    for g in range(G):
+        s = res["state"][g]
+        for fb in bounds[:-1]:
+            if s[fb - 1] in (INVALID_STATE, EXIT_STATE) and \
+                    (s[:fb] != INVALID_STATE).any():
+                assert (s[fb:] == INVALID_STATE).all(), (g, fb)
+
+    # fleet streaming: vmap over (scenario, rng); lane 0 must reproduce the
+    # single-scenario stream bitwise on integer outputs
+    from infgen_tpu.train.train_step import stack_scenarios
+    scens = [scen, make_synthetic_scenario(cfg, seed=3, num_agents=9)]
+    batch = stack_scenarios(scens)
+    rngs = jnp_stack_keys = jax.random.split(jax.random.PRNGKey(4), 2)
+    vfn = jax.jit(jax.vmap(make_stream_fn(
+        tr.model, cfg, tr.attr, tr.motion_tok, tr.map_vocab,
+        segment_steps=20, n_segments=3, jit=False),
+        in_axes=(None, 0, 0)))
+    outs = jax.device_get(vfn(state.params, batch, rngs))
+    lane0 = jax.tree.map(lambda x: x[0], outs)
+    single = jax.device_get(
+        stream_fn(state.params, scen, rngs[0]))
+    np.testing.assert_array_equal(lane0["pred_state"],
+                                  single["pred_state"])
+    res_lane = stitch_stream_outputs(lane0, Hs)
+    assert res_lane["state"].shape[1] == Hs + 60
