@@ -337,7 +337,8 @@ _STREAM_KEYS = ("pred_traj", "pred_head", "pred_state", "slot_active",
 
 
 def make_stream_fn(model, cfg, attr, motion_tok, map_vocab,
-                   segment_steps: int, n_segments: int, jit: bool = True):
+                   segment_steps: int, n_segments: int, jit: bool = True,
+                   return_final: bool = False):
     """Build `stream(params, scenario, rng) -> dict` running `n_segments`
     closed-loop segments of `segment_steps` 10 Hz frames as ONE program.
 
@@ -347,7 +348,13 @@ def make_stream_fn(model, cfg, attr, motion_tok, map_vocab,
     [S, A, Hs+R, 2], pred_head/pred_state [S, A, Hs+R], slot_active /
     pred_type [S, A], pred_shape [S, A, 3], n_inserted [S], av_index [] —
     feed to `stitch_stream_outputs` for the global agent registry.
-    vmap-compatible over (scenario, rng) for fleet streaming."""
+    vmap-compatible over (scenario, rng) for fleet streaming.
+
+    return_final=True adds "final_agents" (the AgentData of the continuation
+    scenario after the LAST segment, [A, Hs] history) so a host driver can
+    compact + re-bucket and hand the fleet to another fused chunk at a
+    smaller capacity — the only data that crosses the host boundary between
+    chunks."""
     from infgen_tpu.data.features import build_model_inputs
     from infgen_tpu.rollout.closed_loop import make_rollout_fn
     Hs = cfg.num_historical_steps
@@ -367,19 +374,22 @@ def make_stream_fn(model, cfg, attr, motion_tok, map_vocab,
         # scenario (full logged [A, T10] history), while segments 1+ carry
         # the fixed [A, Hs] continuation shape through the scan
         scen1, out0, av, rng = _seg(params, scenario, rng)
+        scen_f = scen1
         if n_segments > 1:
             def body(carry, _):
                 scen, r = carry
                 nxt, o, _, r = _seg(params, scen, r)
                 return (nxt, r), o
-            _, outs = jax.lax.scan(body, (scen1, rng), None,
-                                   length=n_segments - 1)
+            (scen_f, _), outs = jax.lax.scan(body, (scen1, rng), None,
+                                             length=n_segments - 1)
             stacked = jax.tree.map(
                 lambda a, b: jnp.concatenate([a[None], b], axis=0),
                 out0, outs)
         else:
             stacked = jax.tree.map(lambda a: a[None], out0)
         stacked["av_index"] = av
+        if return_final:
+            stacked["final_agents"] = scen_f.agents
         return stacked
 
     return jax.jit(stream) if jit else stream
@@ -392,7 +402,8 @@ def stitch_stream_outputs(stacked: Dict, num_historical_steps: int) -> Dict:
     by a later insertion becomes a NEW agent, mirroring the host path's
     gid-loss rule at segment boundaries."""
     Hs = num_historical_steps
-    stacked = {k: np.asarray(v) for k, v in stacked.items()}
+    stacked = {k: np.asarray(v) for k, v in stacked.items()
+               if k != "final_agents"}
     state = stacked["pred_state"]
     S, A, F = state.shape
     R = F - Hs

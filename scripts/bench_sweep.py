@@ -337,7 +337,13 @@ class Bench:
                 list(jax.random.split(jax.random.PRNGKey(seed), B)),
                 total_steps=total_steps)
 
-        results = once(0)                      # compile all bucket programs
+        # warm with the SAME seeds the timed loop uses: with rebucket, the
+        # bucket/batch-shape combos VISITED depend on each seed's insertion
+        # draws, so warming with a different seed can leave executables
+        # uncompiled and put multi-minute compiles inside the timing (the
+        # r5 first-cut rebucket number, 120 s/rep, was exactly this)
+        for i in range(reps):
+            once(10 + i)
         t0 = time.perf_counter()
         for i in range(reps):
             results = once(10 + i)
@@ -355,6 +361,96 @@ class Bench:
             "n_alive_per_segment": [s["n_alive"]
                                     for s in results[0]["segments"]],
             "reps": reps, "trained": True,
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
+    def measure_stream_fused(self, name, B=8, num_agents=64, total_steps=900,
+                             segment_steps=300, plan=((128, 1), (64, 2)),
+                             reps=None):
+        """Fused on-device streaming (rollout/streaming.py make_stream_fn):
+        each chunk of the plan runs (bucket A, n_segments) as ONE compiled
+        vmapped program; only the [A, Hs] continuation AgentData crosses the
+        host boundary between chunks (compact + re-pad to the next bucket).
+        plan=((A_max, n_seg),) is the static control — one dispatch for the
+        whole horizon. Numerator/drain conventions match measure()."""
+        from infgen_tpu.config import INVALID_STATE
+        from infgen_tpu.data.scenario import Scenario
+        from infgen_tpu.rollout.serving import (compact_scenario,
+                                                repad_scenario)
+        from infgen_tpu.rollout.streaming import make_stream_fn
+        from infgen_tpu.train.train_step import stack_scenarios
+        cfg0 = self.cfg
+        P = cfg0.max_map_tokens
+        reps = reps or max(2, self.reps // 5)
+        assert sum(n for _, n in plan) * segment_steps >= total_steps
+        scens0, _ = self.scenes(B, num_agents)
+        params = jax.device_put(self.trained_params())
+        jax.block_until_ready(params)
+        Hs = cfg0.num_historical_steps
+
+        fns = {}
+        for A_c, n_seg in plan:
+            cfg_c = cfg0.replace(max_agents=A_c)
+            model_c = InfGenModel(cfg_c, self.attr.grid, self.attr.grid_size,
+                                  self.attr.angle_size)
+            fns[(A_c, n_seg)] = jax.jit(jax.vmap(make_stream_fn(
+                model_c, cfg_c, self.attr, self.mt, self.map_vocab,
+                segment_steps=segment_steps, n_segments=n_seg, jit=False,
+                return_final=True), in_axes=(None, 0, 0)))
+
+        def run_once(seed, collect=False):
+            cur = scens0
+            key = jax.random.PRNGKey(seed)
+            chunk_outs, buckets = [], []
+            for ci, (A_c, n_seg) in enumerate(plan):
+                comp = [compact_scenario(s)[0] for s in cur]
+                n_live = max(int(np.asarray(s.agents.slot_mask).sum())
+                             for s in comp)
+                if n_live > A_c:        # seed drew too many survivors:
+                    A_c = cfg0.max_agents   # fall back to full capacity
+                cur = [repad_scenario(s, A_c, P) for s in comp]
+                batch = stack_scenarios(cur)
+                key, k = jax.random.split(key)
+                out = dict(fns[(A_c, n_seg)](
+                    params, batch, jax.random.split(k, B)))
+                fin = out.pop("final_agents")
+                if ci + 1 < len(plan):
+                    # the ONLY host round-trip between chunks: [A, Hs]
+                    # continuation history (~100 KB for the whole fleet)
+                    fin = jax.device_get(fin)
+                    cur = [Scenario(
+                        agents=jax.tree.map(lambda x, i=i: x[i], fin),
+                        map=cur[i].map, scenario_id=cur[i].scenario_id)
+                        for i in range(B)]
+                else:
+                    float(out["pred_traj"].sum())      # drain
+                buckets.append(A_c)
+                if collect:
+                    chunk_outs.append(out)
+            return chunk_outs, buckets
+
+        for i in range(reps):                  # warm every executable the
+            run_once(10 + i)                   # timed seeds will visit
+        t0 = time.perf_counter()
+        for i in range(reps):
+            outs, buckets = run_once(10 + i, collect=(i == reps - 1))
+        dt = (time.perf_counter() - t0) / reps
+        asteps = float(sum(
+            (np.asarray(o["pred_state"])[:, :, :, Hs:] != INVALID_STATE)
+            .sum() for o in outs))
+        n_alive = [int(a) for o in outs
+                   for a in np.asarray(o["slot_active"]).sum(-1).mean(0)]
+        rec = {
+            "exp": name, "B": B, "total_steps": total_steps,
+            "segment_steps": segment_steps,
+            "plan": [list(p) for p in plan],
+            "buckets_used": buckets,
+            "agent_steps_per_sec": round(asteps / dt, 1),
+            "dt_s": round(dt, 3),
+            "asteps": round(asteps, 0),
+            "n_alive_per_segment": n_alive,
+            "reps": reps, "trained": True, "fused": True,
         }
         print(json.dumps(rec), flush=True)
         return rec
@@ -591,6 +687,13 @@ def experiments(b):
                                                     rebucket=True),
         "stream_static": lambda: b.measure_stream("stream_static",
                                                   rebucket=False),
+        # fused on-device streaming: the whole horizon in one dispatch per
+        # chunk (static control = single chunk at A=128; rebucket = migrate
+        # the fleet to A=64 after the first segment's exits)
+        "stream_fused_static": lambda: b.measure_stream_fused(
+            "stream_fused_static", plan=((128, 3),)),
+        "stream_fused_rebucket": lambda: b.measure_stream_fused(
+            "stream_fused_rebucket", plan=((128, 1), (64, 2))),
         # insertion-homogeneous batching A/B at several vmap widths
         # (VERDICT r4 item 6): ordered lanes vs interleaved arrival order
         "homog_b8": lambda: b.measure_homog("homog_b8", max_batch=8,
