@@ -418,6 +418,84 @@ def main():
         except Exception as e:
             print(f"# sparse-serving bench skipped: {e}", file=sys.stderr)
 
+    # fused on-device streaming (rollout/streaming.py make_stream_fn): 90 s
+    # of simulated traffic per scene (3 x 300-frame segments) as ONE
+    # compiled program per chunk — segment continuation + re-tokenization
+    # run on device, so nothing round-trips the host between segments (the
+    # host-loop stream pays seconds of relay transfers per boundary:
+    # 13.9 s -> 1.15 s wall clock, SWEEPS.md round 5). Plan (A, 1) then
+    # (64, 2): after the first segment's exits the fleet compacts and
+    # migrates to the cheaper A=64 executable.
+    stream_value = stream_dt = stream_plan = None
+    if os.environ.get("INFGEN_BENCH_STREAM", "1") not in ("", "0"):
+        try:
+            from infgen_tpu.data.scenario import Scenario
+            from infgen_tpu.rollout.serving import (compact_scenario,
+                                                    repad_scenario)
+            from infgen_tpu.rollout.streaming import make_stream_fn
+            seg_R = cfg.num_recurrent_steps_val
+            # three 1-segment chunks: the (64, 1) executable is REUSED for
+            # chunks 2+3, so only two (small) programs compile — a 2-seg
+            # fused chunk measured ~3% faster (SWEEPS.md 250k) but costs a
+            # second big compile in the driver's bench budget
+            plan = ((cfg.max_agents, 1), (64, 1), (64, 1))
+            pb = params_t if value_t is not None else params
+            fns = {}
+
+            def stream_fn(A_c, n_seg):
+                if (A_c, n_seg) not in fns:
+                    cfg_c = cfg.replace(max_agents=A_c)
+                    model_c = InfGenModel(cfg_c, attr.grid, attr.grid_size,
+                                          attr.angle_size)
+                    fns[(A_c, n_seg)] = jax.jit(jax.vmap(make_stream_fn(
+                        model_c, cfg_c, attr, mt, map_vocab,
+                        segment_steps=seg_R, n_segments=n_seg, jit=False,
+                        return_final=True), in_axes=(None, 0, 0)))
+                return fns[(A_c, n_seg)]
+
+            def run_stream(seed):
+                cur, outs = scens, []
+                key = jax.random.PRNGKey(seed)
+                used = []
+                for ci, (A_c, n_seg) in enumerate(plan):
+                    comp = [compact_scenario(s)[0] for s in cur]
+                    n_live = max(int(np.asarray(s.agents.slot_mask).sum())
+                                 for s in comp)
+                    if n_live > A_c:
+                        A_c = cfg.max_agents
+                    cur = [repad_scenario(s, A_c, cfg.max_map_tokens)
+                           for s in comp]
+                    bt = stack_scenarios(cur)
+                    key, k = jax.random.split(key)
+                    out = dict(stream_fn(A_c, n_seg)(
+                        pb, bt, jax.random.split(k, B)))
+                    fin = out.pop("final_agents")
+                    if ci + 1 < len(plan):
+                        fin = jax.device_get(fin)
+                        cur = [Scenario(
+                            agents=jax.tree.map(lambda x, i=i: x[i], fin),
+                            map=cur[i].map, scenario_id=cur[i].scenario_id)
+                            for i in range(B)]
+                    else:
+                        float(out["pred_traj"].sum())
+                    used.append(A_c)
+                    outs.append(out)
+                return outs, used
+
+            n_rep = 3
+            for i in range(n_rep):
+                run_stream(30 + i)                       # warm every combo
+            t0 = time.perf_counter()
+            for i in range(n_rep):
+                s_outs, stream_plan = run_stream(30 + i)
+            stream_dt = (time.perf_counter() - t0) / n_rep
+            s_asteps = float(sum(
+                (np.asarray(o["pred_state"])[:, :, :, Hs:] != 0).sum()
+                for o in s_outs))
+            stream_value = s_asteps / stream_dt
+        except Exception as e:
+            print(f"# fused-stream bench skipped: {e}", file=sys.stderr)
+
     # on-device WOSAC scoring (reference scores rollouts in a CPU process
     # pool, compute_metrics.py:1754-1801; here the whole likelihood engine
     # runs on the chip). Two numbers: scoring a finished batch, and rollout
@@ -539,6 +617,14 @@ def main():
         "bucket_curve": bucket_curve,
         "sparse_bucket_speedup": None if sparse_speedup is None
         else round(sparse_speedup, 2),
+        # fused on-device streaming: 3 x 300-frame segments (90 s simulated)
+        # per scene, one dispatch per chunk, re-bucketing to A=64 after the
+        # first segment's exits; numerator convention identical to `value`
+        "stream_fused_agent_steps_per_sec": None if stream_value is None
+        else round(stream_value, 1),
+        "stream_fused_wall_s": None if stream_dt is None
+        else round(stream_dt, 3),
+        "stream_fused_buckets": stream_plan,
         # on-device WOSAC scoring of a batch of B rollouts (the reference
         # needs a host process pool for this); fused = rollout+score in ONE
         # compiled program

@@ -694,6 +694,11 @@ def experiments(b):
             "stream_fused_static", plan=((128, 3),)),
         "stream_fused_rebucket": lambda: b.measure_stream_fused(
             "stream_fused_rebucket", plan=((128, 1), (64, 2))),
+        # dense-traffic stream: 96-live scenes — same program cost at
+        # A=128, higher numerator (occupancy is what caps streamed
+        # agent-steps/s once the handoff overhead is gone)
+        "stream_fused_dense": lambda: b.measure_stream_fused(
+            "stream_fused_dense", num_agents=96, plan=((128, 3),)),
         # insertion-homogeneous batching A/B at several vmap widths
         # (VERDICT r4 item 6): ordered lanes vs interleaved arrival order
         "homog_b8": lambda: b.measure_homog("homog_b8", max_batch=8,
