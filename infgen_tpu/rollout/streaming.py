@@ -395,6 +395,65 @@ def make_stream_fn(model, cfg, attr, motion_tok, map_vocab,
     return jax.jit(stream) if jit else stream
 
 
+def make_chunked_stream_runner(cfg, attr, motion_tok, map_vocab,
+                               segment_steps: int):
+    """Host driver for a fleet stream split into fused chunks: run each
+    `(A_bucket, n_segments)` chunk of the plan via `make_stream_fn`, and
+    between chunks compact exited slots + re-bucket the fleet (the only
+    host round-trip: the [A, Hs] continuation history, ~100 KB/fleet).
+
+    Returns `run(params, scenarios, plan, key) -> (chunk_outs, buckets)`.
+    Chunk executables are compiled lazily per distinct (A, n_segments) and
+    cached across `run` calls — including the full-capacity fallback taken
+    when a chunk's survivors exceed its planned bucket (a pre-built table
+    KeyError'd on exactly that path; shared by bench.py and
+    scripts/bench_sweep.py so the two "fused stream" numbers measure one
+    protocol). The caller drains (e.g. `pred_traj.sum()` of the last chunk)
+    before reading a wall clock."""
+    from infgen_tpu.model.infgen import InfGenModel
+    from infgen_tpu.rollout.serving import repad_scenario
+
+    fns = {}
+
+    def stream_fn(A_c, n_seg):
+        if (A_c, n_seg) not in fns:
+            cfg_c = cfg.replace(max_agents=A_c)
+            model_c = InfGenModel(cfg_c, attr.grid, attr.grid_size,
+                                  attr.angle_size)
+            fns[(A_c, n_seg)] = jax.jit(jax.vmap(make_stream_fn(
+                model_c, cfg_c, attr, motion_tok, map_vocab,
+                segment_steps=segment_steps, n_segments=n_seg, jit=False,
+                return_final=True), in_axes=(None, 0, 0)))
+        return fns[(A_c, n_seg)]
+
+    def run(params, scenarios, plan, key):
+        from infgen_tpu.train.train_step import stack_scenarios
+        cur, outs, used = list(scenarios), [], []
+        for ci, (A_c, n_seg) in enumerate(plan):
+            comp = [compact_scenario(s)[0] for s in cur]
+            n_live = max(int(np.asarray(s.agents.slot_mask).sum())
+                         for s in comp)
+            if n_live > A_c:            # too many survivors for the planned
+                A_c = cfg.max_agents    # bucket: fall back to full capacity
+            cur = [repad_scenario(s, A_c, cfg.max_map_tokens) for s in comp]
+            bt = stack_scenarios(cur)
+            key, k = jax.random.split(key)
+            out = dict(stream_fn(A_c, n_seg)(
+                params, bt, jax.random.split(k, len(cur))))
+            fin = out.pop("final_agents")
+            if ci + 1 < len(plan):
+                fin = jax.device_get(fin)
+                cur = [Scenario(
+                    agents=jax.tree.map(lambda x, i=i: x[i], fin),
+                    map=cur[i].map, scenario_id=cur[i].scenario_id)
+                    for i in range(len(cur))]
+            used.append(A_c)
+            outs.append(out)
+        return outs, used
+
+    return run
+
+
 def stitch_stream_outputs(stacked: Dict, num_historical_steps: int) -> Dict:
     """Host-side global agent registry for `make_stream_fn` outputs (same
     result schema as `StreamingRollout.run`). Rows are slot-stable across

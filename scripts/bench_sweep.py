@@ -375,13 +375,8 @@ class Bench:
         plan=((A_max, n_seg),) is the static control — one dispatch for the
         whole horizon. Numerator/drain conventions match measure()."""
         from infgen_tpu.config import INVALID_STATE
-        from infgen_tpu.data.scenario import Scenario
-        from infgen_tpu.rollout.serving import (compact_scenario,
-                                                repad_scenario)
-        from infgen_tpu.rollout.streaming import make_stream_fn
-        from infgen_tpu.train.train_step import stack_scenarios
+        from infgen_tpu.rollout.streaming import make_chunked_stream_runner
         cfg0 = self.cfg
-        P = cfg0.max_map_tokens
         reps = reps or max(2, self.reps // 5)
         assert sum(n for _, n in plan) * segment_steps >= total_steps
         scens0, _ = self.scenes(B, num_agents)
@@ -389,57 +384,32 @@ class Bench:
         jax.block_until_ready(params)
         Hs = cfg0.num_historical_steps
 
-        fns = {}
-        for A_c, n_seg in plan:
-            cfg_c = cfg0.replace(max_agents=A_c)
-            model_c = InfGenModel(cfg_c, self.attr.grid, self.attr.grid_size,
-                                  self.attr.angle_size)
-            fns[(A_c, n_seg)] = jax.jit(jax.vmap(make_stream_fn(
-                model_c, cfg_c, self.attr, self.mt, self.map_vocab,
-                segment_steps=segment_steps, n_segments=n_seg, jit=False,
-                return_final=True), in_axes=(None, 0, 0)))
+        # shared chunked driver (also used by bench.py): lazy per-(A, n_seg)
+        # executables, incl. the full-capacity fallback path
+        runner = make_chunked_stream_runner(cfg0, self.attr, self.mt,
+                                            self.map_vocab,
+                                            segment_steps=segment_steps)
 
-        def run_once(seed, collect=False):
-            cur = scens0
-            key = jax.random.PRNGKey(seed)
-            chunk_outs, buckets = [], []
-            for ci, (A_c, n_seg) in enumerate(plan):
-                comp = [compact_scenario(s)[0] for s in cur]
-                n_live = max(int(np.asarray(s.agents.slot_mask).sum())
-                             for s in comp)
-                if n_live > A_c:        # seed drew too many survivors:
-                    A_c = cfg0.max_agents   # fall back to full capacity
-                cur = [repad_scenario(s, A_c, P) for s in comp]
-                batch = stack_scenarios(cur)
-                key, k = jax.random.split(key)
-                out = dict(fns[(A_c, n_seg)](
-                    params, batch, jax.random.split(k, B)))
-                fin = out.pop("final_agents")
-                if ci + 1 < len(plan):
-                    # the ONLY host round-trip between chunks: [A, Hs]
-                    # continuation history (~100 KB for the whole fleet)
-                    fin = jax.device_get(fin)
-                    cur = [Scenario(
-                        agents=jax.tree.map(lambda x, i=i: x[i], fin),
-                        map=cur[i].map, scenario_id=cur[i].scenario_id)
-                        for i in range(B)]
-                else:
-                    float(out["pred_traj"].sum())      # drain
-                buckets.append(A_c)
-                if collect:
-                    chunk_outs.append(out)
-            return chunk_outs, buckets
+        def run_once(seed):
+            outs, buckets = runner(params, scens0, plan,
+                                   jax.random.PRNGKey(seed))
+            float(outs[-1]["pred_traj"].sum())         # drain
+            return outs, buckets
 
         for i in range(reps):                  # warm every executable the
             run_once(10 + i)                   # timed seeds will visit
+        rep_outs = []
         t0 = time.perf_counter()
         for i in range(reps):
-            outs, buckets = run_once(10 + i, collect=(i == reps - 1))
+            outs, buckets = run_once(10 + i)
+            rep_outs.append(outs)              # device arrays; fetch after
         dt = (time.perf_counter() - t0) / reps
+        # numerator averaged over the SAME reps the clock timed (last-rep-
+        # only biased the ratio: insertion draws differ per seed)
         asteps = float(sum(
             (np.asarray(o["pred_state"])[:, :, :, Hs:] != INVALID_STATE)
-            .sum() for o in outs))
-        n_alive = [int(a) for o in outs
+            .sum() for outs in rep_outs for o in outs)) / reps
+        n_alive = [int(a) for o in rep_outs[-1]
                    for a in np.asarray(o["slot_active"]).sum(-1).mean(0)]
         rec = {
             "exp": name, "B": B, "total_steps": total_steps,

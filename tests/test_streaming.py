@@ -275,3 +275,35 @@ def test_fused_stream_stitch_and_vmap():
                                   single["pred_state"])
     res_lane = stitch_stream_outputs(lane0, Hs)
     assert res_lane["state"].shape[1] == Hs + 60
+
+
+def test_chunked_stream_runner_and_fallback():
+    """make_chunked_stream_runner (the shared bench/bench_sweep driver):
+    chunk outputs are finite and correctly shaped per bucket, the planned
+    re-bucket is taken when survivors fit, and a bucket too small for the
+    survivors falls back to full capacity by LAZILY compiling the
+    full-capacity executable (a pre-built fn table KeyError'd here)."""
+    from infgen_tpu.rollout.streaming import make_chunked_stream_runner
+    cfg, tr, scen, state = _setup(num_recurrent_steps_val=20)
+    scens = [scen, make_synthetic_scenario(cfg, seed=3, num_agents=9)]
+    runner = make_chunked_stream_runner(cfg, tr.attr, tr.motion_tok,
+                                        tr.map_vocab, segment_steps=20)
+
+    # planned re-bucket: capacity 12 >= live count after chunk 1's exits
+    outs, used = runner(state.params, scens, ((16, 1), (12, 1)),
+                        jax.random.PRNGKey(5))
+    assert used[0] == 16 and used[1] in (12, 16)
+    # chunk outputs are [B, n_segments, A_bucket, T, 2]
+    assert [o["pred_traj"].shape[2] for o in outs] == [16, used[1]]
+    for o in outs:
+        assert np.isfinite(np.asarray(o["pred_traj"])).all()
+
+    # fallback: a 1-slot bucket can never hold the survivors (the ego alone
+    # occupies one slot; chunk 1 keeps >=1 agent alive), so chunk 2 must
+    # run at full capacity instead of KeyError-ing
+    outs_f, used_f = runner(state.params, scens, ((16, 1), (1, 1)),
+                            jax.random.PRNGKey(5))
+    assert used_f == [16, 16]
+    # identical keys + identical capacity => chunk 1 is reproducible
+    np.testing.assert_array_equal(np.asarray(outs_f[0]["pred_state"]),
+                                  np.asarray(outs[0]["pred_state"]))
